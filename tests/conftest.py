@@ -1,0 +1,30 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4: multi-device behavior is validated with
+``--xla_force_host_platform_device_count=8`` so no TPU is needed for CI.
+
+NOTE: this environment exports JAX_PLATFORMS=axon (the real TPU tunnel); we
+must FORCE cpu here — parity tests need strict f32 conv/matmul semantics, and
+the virtual 8-device mesh only exists on the host platform.  Set
+WESUP_TEST_PLATFORM=axon to deliberately run the suite on the TPU.
+"""
+
+import os
+
+_platform = os.environ.get("WESUP_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# this box has a single CPU core: persistent compilation cache is a big win
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# The axon sitecustomize force-overrides JAX_PLATFORMS to "axon,cpu"; undo it
+# through the config API (must happen before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)

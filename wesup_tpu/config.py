@@ -1,0 +1,128 @@
+"""Configuration system.
+
+Mirrors the reference's class-attribute config chain (models/base.py:16-36 and
+models/wesup.py:142-179 in mrcfps/WESUP): defaults come from the config class,
+are flattened with ``to_dict()`` and merged with caller kwargs, which are
+merged again with CLI kwargs at train time.  Field names and default values
+are kept identical so a reference user can carry their flags over unchanged.
+
+TPU-specific additions live in extra fields (``canvas_size``, ``slic_iters``,
+``compute_dtype``...) that have no reference counterpart; they default to
+values that reproduce reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class BaseConfig:
+    """Base model configuration (reference: models/base.py:16-36)."""
+
+    # batch size for training
+    batch_size: int = 1
+
+    # number of epochs for training
+    epochs: int = 10
+
+    # numerical stability term
+    epsilon: float = 1e-7
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    def __str__(self):
+        return "\n".join(
+            f"{f.name:<32s}{getattr(self, f.name)}"
+            for f in dataclasses.fields(self)
+        )
+
+
+@dataclass
+class WESUPConfig(BaseConfig):
+    """Configuration for the WESUP model (reference: models/wesup.py:142-179)."""
+
+    # Rescale factor to subsample input images.
+    rescale_factor: float = 0.5
+
+    # multi-scale range for training
+    multiscale_range: Tuple[float, float] = (0.3, 0.4)
+
+    # Number of target classes.
+    n_classes: int = 2
+
+    # Class weights for cross-entropy loss function.
+    class_weights: Tuple[float, ...] = (3, 1)
+
+    # Superpixel parameters.
+    sp_area: int = 200
+    sp_compactness: float = 40
+
+    # whether to enable label propagation
+    enable_propagation: bool = True
+
+    # Similarity threshold for label propagation
+    # (reference passes 0.8 at models/wesup.py:514 despite the 0.95 function
+    # default at models/wesup.py:99).
+    propagate_threshold: float = 0.8
+
+    # Weight for label-propagated samples when computing loss function
+    propagate_weight: float = 0.5
+
+    # Optimization parameters.
+    lr: float = 5e-5
+    momentum: float = 0.9
+    weight_decay: float = 0.001
+
+    # Whether to freeze backbone.
+    freeze_backbone: bool = False
+
+    # Training configurations.
+    batch_size: int = 1
+    epochs: int = 300
+
+    # ------------------------------------------------------------------
+    # TPU-native additions (no reference counterpart)
+    # ------------------------------------------------------------------
+
+    # Output dimension of superpixel features (reference hardcodes D=32 at
+    # models/wesup.py:185).
+    sp_feature_dim: int = 32
+
+    # Fixed number of SLIC iterations on device (skimage default max_iter=10).
+    slic_iters: int = 10
+
+    # Static canvas (H, W) that images are padded onto.  ``None`` = derive
+    # from the dataset (max image size x max scale, rounded up to x32).
+    canvas_size: Optional[Tuple[int, int]] = None
+
+    # Compute dtype for the backbone ("bfloat16" or "float32").  Params are
+    # always float32.
+    compute_dtype: str = "bfloat16"
+
+    # Number of data-parallel shards (<=0 means "all visible devices").
+    num_devices: int = 0
+
+    # Random seed.
+    seed: int = 0
+
+
+def merge_config(config: WESUPConfig, **kwargs) -> WESUPConfig:
+    """Apply the reference's kwargs-override merge chain to a dataclass.
+
+    Unknown keys are kept in ``config.extra_kwargs``-style dict semantics by
+    simply being ignored for the frozen fields; callers that need raw kwargs
+    (e.g. ``checkpoint``, ``metrics``) keep their own dict, as the reference
+    trainer does with ``self.kwargs``.
+    """
+
+    known = {f.name for f in dataclasses.fields(config)}
+    updates = {k: v for k, v in kwargs.items() if k in known and v is not None}
+    # fire-style CLIs pass tuples as lists; normalize
+    for key in ("multiscale_range", "class_weights", "canvas_size"):
+        if key in updates and updates[key] is not None:
+            updates[key] = tuple(updates[key])
+    return dataclasses.replace(config, **updates)

@@ -1,0 +1,92 @@
+"""Bilinear/nearest resizes with exact PyTorch `F.interpolate` semantics.
+
+The reference upsamples every side-conv output back to image resolution with
+``F.interpolate(..., mode='bilinear', align_corners=True)``
+(models/wesup.py:254-255) and resizes inference inputs with
+``align_corners=False`` bilinear / nearest (infer.py:74-75).  JAX's
+``jax.image.resize`` only implements the half-pixel (align_corners=False)
+convention, so we build the interpolation as *separable matrix products*:
+
+    out = A_h @ img @ A_w^T        (per channel)
+
+This is mathematically exact, and it is also the fast formulation on TPU: the
+banded interpolation matrices ride the MXU instead of generating gather ops.
+The matrices are built at trace time from static shapes (everything under jit
+has static shapes, so this is free).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) 1-D linear interpolation matrix."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    if align_corners:
+        if out_size == 1:
+            # torch samples position 0 when out==1 with align_corners=True
+            A[0, 0] = 1.0
+            return A
+        pos = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        pos = (np.arange(out_size) + 0.5) * scale - 0.5
+        pos = np.clip(pos, 0.0, in_size - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = pos - lo
+    A[np.arange(out_size), lo] = 1.0 - frac
+    A[np.arange(out_size), lo + 1] = frac
+    return A
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """Index map matching torch F.interpolate(mode='nearest')."""
+    # torch 'nearest' uses floor(out_idx * in/out)
+    idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw, align_corners: bool = True,
+                    dtype=None) -> jnp.ndarray:
+    """Bilinear resize of a (..., H, W, C) array to (..., H', W', C).
+
+    Exact parity with ``torch.nn.functional.interpolate(mode='bilinear')``
+    for both align_corners conventions (verified in tests/test_resize.py).
+    """
+
+    H, W = img.shape[-3], img.shape[-2]
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    if (H, W) == (out_h, out_w):
+        return img if dtype is None else img.astype(dtype)
+    cdtype = dtype or img.dtype
+    A_h = jnp.asarray(_interp_matrix(H, out_h, align_corners), dtype=cdtype)
+    A_w = jnp.asarray(_interp_matrix(W, out_w, align_corners), dtype=cdtype)
+    x = img.astype(cdtype)
+    # contract H: (..., H, W, C) x (out_h, H) -> (..., W, C, out_h)
+    x = jnp.tensordot(x, A_h, axes=[[-3], [1]])
+    # now (..., W, C, out_h); contract W
+    x = jnp.tensordot(x, A_w, axes=[[-3], [1]])
+    # now (..., C, out_h, out_w) -> (..., out_h, out_w, C)
+    x = jnp.moveaxis(x, (-2, -1), (-3, -2))
+    return x
+
+
+def resize_nearest(img: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Nearest resize of (..., H, W, C) matching torch semantics."""
+    H, W = img.shape[-3], img.shape[-2]
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    if (H, W) == (out_h, out_w):
+        return img
+    iy = jnp.asarray(_nearest_index(H, out_h))
+    ix = jnp.asarray(_nearest_index(W, out_w))
+    return img[..., iy[:, None], ix[None, :], :]
