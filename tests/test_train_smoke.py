@@ -1,0 +1,59 @@
+"""End-to-end training smoke test on a tiny synthetic dataset (CPU mesh)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from make_dataset import make_dataset  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_dataset(root, n_train=3, n_val=2, hw=(64, 80))
+
+
+def test_fit_smoke(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "records"))
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from train import fit
+
+    trainer = None
+
+    # run 2 epochs on the point dataset; canvas small; keep record dir
+    import train as train_mod  # noqa: F401
+    from wesup_tpu.models import initialize_trainer
+
+    trainer = initialize_trainer(
+        "wesup", epochs=2, canvas_size=(48, 64), slic_iters=3,
+        compute_dtype="float32", sp_area=100)
+    trainer.train(dataset, epochs=2)
+
+    record_dir = trainer.record_dir
+    assert (record_dir / "history.csv").exists()
+    assert (record_dir / "train.log").exists()
+    assert (record_dir / "params" / "0.json").exists()
+    assert (record_dir / "source" / "wesup_tpu").exists()
+    ckpts = list((record_dir / "checkpoints").glob("ckpt.*"))
+    assert len(ckpts) == 1  # latest-only retention
+    assert ckpts[0].name == "ckpt.0002.msgpack"
+
+    import pandas as pd
+
+    hist = pd.read_csv(record_dir / "history.csv")
+    assert len(hist) == 2
+    for col in ["loss", "accuracy", "dice", "val_accuracy", "val_dice",
+                "labeled_sp_ratio", "lr"]:
+        assert col in hist.columns, hist.columns
+    assert np.isfinite(hist["loss"]).all()
+
+    # resume from checkpoint: epoch numbering continues
+    trainer2 = initialize_trainer(
+        "wesup", epochs=1, canvas_size=(48, 64), slic_iters=3,
+        compute_dtype="float32", sp_area=100)
+    trainer2.train(dataset, epochs=1, checkpoint=str(ckpts[0]))
+    ckpts2 = list((record_dir / "checkpoints").glob("ckpt.*"))
+    assert ckpts2 and ckpts2[0].name == "ckpt.0003.msgpack"

@@ -1,0 +1,185 @@
+"""Canvas batching and prefetching host loader.
+
+XLA needs static shapes; GlaS/CRAG images are variably sized and the
+reference trains at a random 0.3-0.4x scale per image (utils/data.py:98-101).
+We therefore pad every sample onto a fixed per-dataset canvas:
+
+- image: edge-replicated into the padding (keeps on-device SLIC clusters
+  from bleeding toward black borders);
+- ``valid`` mask marks real-content pixels; all downstream ops (superpixel
+  stats, loss, metrics) are masked by it;
+- point annotations ride along as fixed-size coordinate arrays, rasterized
+  on device AFTER the geometric augmentation.
+
+This replaces the reference's ``DataLoader(num_workers=os.cpu_count())``
+(models/base.py:288-300): a single prefetch thread decodes the next batch
+with cv2 (which releases the GIL) while the TPU computes the current one.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CanvasSpec:
+    height: int
+    width: int
+    max_points: int = 256
+    n_classes: int = 2
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def infer_canvas(dataset, pad_multiple: int = 32,
+                 max_points: int = 256, n_classes: int = 2) -> CanvasSpec:
+    """Derive a static canvas from a dataset's image sizes and scale policy."""
+    import cv2
+
+    max_h = max_w = 0
+    for p in dataset.img_paths:
+        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        if dataset.target_size is not None:
+            h, w = dataset.target_size
+        elif dataset.multiscale_range is not None:
+            s = max(dataset.multiscale_range)
+            h, w = int(np.ceil(s * h)), int(np.ceil(s * w))
+        elif dataset.rescale_factor is not None:
+            h = int(np.ceil(dataset.rescale_factor * h))
+            w = int(np.ceil(dataset.rescale_factor * w))
+        max_h, max_w = max(max_h, h), max(max_w, w)
+    return CanvasSpec(_round_up(max_h, pad_multiple), _round_up(max_w, pad_multiple),
+                      max_points, n_classes)
+
+
+def place_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
+    """Pad one dataset sample onto the canvas; returns fixed-shape arrays."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    H, W = spec.height, spec.width
+    if h > H or w > W:
+        raise ValueError(f"sample ({h}x{w}) exceeds canvas ({H}x{W})")
+
+    canvas = np.empty((H, W, 3), np.uint8)
+    canvas[:h, :w] = img
+    # edge-replicate padding
+    if w < W:
+        canvas[:h, w:] = img[:, w - 1:w]
+    if h < H:
+        canvas[h:, :] = canvas[h - 1:h, :]
+
+    valid = np.zeros((H, W), bool)
+    valid[:h, :w] = True
+
+    pixel_mask = np.full((H, W), -1, np.int32)
+    if sample.get("pixel_mask") is not None:
+        pixel_mask[:h, :w] = sample["pixel_mask"]
+
+    points = np.zeros((spec.max_points, 3), np.int32)
+    point_valid = np.zeros((spec.max_points,), bool)
+    pts = sample.get("points")
+    if pts is not None and len(pts) > 0:
+        pts = np.asarray(pts, np.int32)
+        n = min(len(pts), spec.max_points)
+        points[:n] = pts[:n]
+        point_valid[:n] = True
+
+    return {
+        "image": canvas,
+        "valid": valid,
+        "pixel_mask": pixel_mask,
+        "points": points,
+        "point_valid": point_valid,
+        "use_mask_as_points": np.bool_(sample.get("use_mask_as_points", False)),
+        "sample_valid": np.bool_(True),
+    }
+
+
+def _blank_item(spec: CanvasSpec) -> dict:
+    """Batch-padding item: contributes nothing to loss or metrics."""
+    return {
+        "image": np.zeros((spec.height, spec.width, 3), np.uint8),
+        "valid": np.zeros((spec.height, spec.width), bool),
+        "pixel_mask": np.full((spec.height, spec.width), -1, np.int32),
+        "points": np.zeros((spec.max_points, 3), np.int32),
+        "point_valid": np.zeros((spec.max_points,), bool),
+        "use_mask_as_points": np.bool_(False),
+        "sample_valid": np.bool_(False),
+    }
+
+
+def _stack(items) -> dict:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class CanvasBatcher:
+    """Iterates fixed-shape batches with one background prefetch thread.
+
+    The last batch is padded with blank items (``sample_valid=False``) so
+    every batch has identical shape — one XLA compilation per epoch phase.
+    """
+
+    def __init__(self, dataset, spec: CanvasSpec, batch_size: int = 1,
+                 shuffle: bool = False, seed: int = 0, prefetch: int = 2,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.spec = spec
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                batch = []
+                for idx in order:
+                    batch.append(place_on_canvas(self.dataset[int(idx)], self.spec))
+                    if len(batch) == self.batch_size:
+                        q.put(_stack(batch))
+                        batch = []
+                if batch and not self.drop_last:
+                    while len(batch) < self.batch_size:
+                        batch.append(_blank_item(self.spec))
+                    q.put(_stack(batch))
+            except Exception as exc:  # surface loader errors to the consumer
+                q.put(exc)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item

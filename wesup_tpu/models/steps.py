@@ -1,0 +1,243 @@
+"""Jitted train/eval step builders: the whole per-iteration pipeline on device.
+
+Reference hot loop (models/base.py:184-211 + models/wesup.py:457-531) per
+image: host SLIC -> device forward -> loss -> backward -> SGD step, with a
+GPU->CPU->GPU round trip for SLIC and Python loops for superpixel handling.
+Here ONE compiled XLA program per batch does: augmentation -> point
+rasterization -> SLIC -> superpixel stats -> hypercolumn forward -> loss ->
+backward -> optimizer update -> train metrics.  Zero host round trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import WESUPConfig
+from ..ops import augment as aug
+from ..ops.slic import n_clusters, slic
+from ..ops.segments import superpixel_stats
+from ..utils.metrics import device_accuracy, device_dice
+from . import wesup
+from .objectives import wesup_loss
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (parity with torch.optim.SGD(lr, momentum, weight_decay) +
+# requires_grad filtering, reference models/wesup.py:445-455)
+# ---------------------------------------------------------------------------
+
+def make_optimizer(config: WESUPConfig):
+    tx = optax.chain(
+        optax.add_decayed_weights(config.weight_decay),
+        optax.trace(decay=config.momentum),
+        optax.scale(-config.lr),
+    )
+    if config.freeze_backbone:
+        def label(params):
+            return {k: ("frozen" if k == "backbone" else "train")
+                    for k in params}
+
+        def relabel(tree, lab):
+            return jax.tree.map(lambda _: lab, tree)
+
+        def labels(params):
+            return {k: relabel(v, "frozen" if k == "backbone" else "train")
+                    for k, v in params.items()}
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Per-sample device preprocessing
+# ---------------------------------------------------------------------------
+
+def _rasterize_points(points, point_valid, hw, n_classes):
+    """Scatter (P, 3) xy-class points into a (H, W, C) one-hot mask.
+
+    Equivalent to cv2.circle(radius=0) rasterization in the reference
+    (utils/data.py:360-362).  Out-of-bounds or padded points are dropped, as
+    albumentations drops keypoints leaving the frame.
+    """
+    H, W = hw
+    xs = points[:, 0]
+    ys = points[:, 1]
+    cs = jnp.clip(points[:, 2], 0, n_classes - 1)
+    ok = (point_valid & (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H))
+    # route dropped points to (0, 0) with value 0 so they are no-ops
+    ys = jnp.where(ok, ys, 0)
+    xs = jnp.where(ok, xs, 0)
+    mask = jnp.zeros((H, W, n_classes), jnp.float32)
+    return mask.at[ys, xs, cs].max(ok.astype(jnp.float32))
+
+
+class Preprocessed(NamedTuple):
+    image: jnp.ndarray       # (H, W, 3) float
+    valid: jnp.ndarray       # (H, W) bool
+    target: jnp.ndarray      # (H, W) int32 class idx (-1 where absent)
+    seg: jnp.ndarray         # (H, W) int32 superpixel ids
+    sup_mask: jnp.ndarray    # (H, W, C) supervision one-hot (zeros if none)
+
+
+def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
+                       use_mask_as_points, *, config: WESUPConfig,
+                       train: bool, point_mode: bool):
+    """Augment + rasterize + SLIC for one sample (vmapped over the batch)."""
+    H, W = image_u8.shape[:2]
+    C = config.n_classes
+    img = image_u8.astype(jnp.float32) / 255.0
+
+    pts_xy = points[:, :2].astype(jnp.float32)
+
+    if train:
+        k_app, k_aff, k_el = jax.random.split(rng, 3)
+        if point_mode:
+            app_cfg = aug.AppearanceConfig()  # albumentations defaults
+            pos_cfg = aug.PositionConfig(ssr_p=1.0)
+        else:
+            # SegmentationDataset path: milder appearance, SSR p=0.8, elastic
+            app_cfg = aug.AppearanceConfig(hue_shift_limit=10,
+                                           sat_shift_limit=10,
+                                           val_shift_limit=10,
+                                           brightness_limit=0.1,
+                                           contrast_limit=0.1)
+            pos_cfg = aug.PositionConfig(ssr_p=0.8)
+        img = aug.random_appearance(k_app, img, app_cfg)
+        if not point_mode:
+            do_el = jax.random.bernoulli(jax.random.fold_in(k_el, 0), 0.5)
+            el_img, el_mask = aug.random_elastic(k_el, img,
+                                                 pixel_mask.astype(jnp.float32))
+            img = jnp.where(do_el, el_img, img)
+            pixel_mask = jnp.where(do_el, el_mask.astype(jnp.int32), pixel_mask)
+
+        A = aug.random_affine(k_aff, (H, W), pos_cfg)
+        img = aug.warp(img, A, order=1)
+        pixel_mask = aug.warp(pixel_mask.astype(jnp.float32), A, order=0,
+                              fill=-1.0).astype(jnp.int32)
+        valid = aug.warp(valid.astype(jnp.float32), A, order=0) > 0.5
+        pts_xy = aug.transform_points(pts_xy, A)
+
+    pts_int = jnp.concatenate(
+        [jnp.floor(pts_xy + 0.5).astype(jnp.int32), points[:, 2:3]], axis=-1)
+    point_mask = _rasterize_points(pts_int, point_valid, (H, W), C)
+
+    pixel_onehot = ((pixel_mask[..., None] == jnp.arange(C)) &
+                    (pixel_mask[..., None] >= 0)).astype(jnp.float32)
+
+    # supervision selection (reference preprocess, models/wesup.py:480-485):
+    # point mask if present, else pixel mask, else nothing
+    point_sup = jnp.where(use_mask_as_points, pixel_onehot, point_mask)
+    has_points = point_valid.any() | use_mask_as_points
+    has_pixel = (pixel_mask >= 0).any()
+    sup = jnp.where(has_points, point_sup,
+                    jnp.where(has_pixel, pixel_onehot, 0.0))
+    # annotations only count on valid canvas pixels
+    sup = sup * valid[..., None].astype(jnp.float32)
+
+    img = jnp.clip(img, 0.0, 1.0)
+    seg = slic(img, valid, sp_area=config.sp_area,
+               compactness=config.sp_compactness, n_iters=config.slic_iters)
+    return Preprocessed(img, valid, pixel_mask, seg, sup)
+
+
+# ---------------------------------------------------------------------------
+# Step builders
+# ---------------------------------------------------------------------------
+
+def _forward_and_loss(params, prep: Preprocessed, K, config: WESUPConfig,
+                      sample_valid):
+    compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
+                                   prep.valid, compute_dtype)
+
+    def per_sample(sp_pred, sp_feats, seg_i, sup_i, valid_i):
+        stats = superpixel_stats(seg_i, K, sup_i, valid_i)
+        return wesup_loss(
+            sp_pred, sp_feats, stats.labels, stats.labeled, stats.real,
+            class_weights=config.class_weights,
+            enable_propagation=config.enable_propagation,
+            propagate_threshold=config.propagate_threshold,
+            propagate_weight=config.propagate_weight,
+            epsilon=config.epsilon)
+
+    losses = jax.vmap(per_sample)(out.sp_pred, out.sp_features, prep.seg,
+                                  prep.sup_mask, prep.valid)
+    w = sample_valid.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    loss = (losses.loss * w).sum() / n
+    return loss, (out, losses)
+
+
+def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
+                    tx) -> callable:
+    """Build the jitted train step for a given canvas shape."""
+    H, W = canvas_hw
+    K = n_clusters(H, W, config.sp_area)
+
+    pre = functools.partial(_preprocess_sample, config=config, train=True,
+                            point_mode=point_mode)
+
+    def step(params, opt_state, batch, rng):
+        B = batch["image"].shape[0]
+        rngs = jax.random.split(rng, B)
+        prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
+                             batch["pixel_mask"], batch["points"],
+                             batch["point_valid"], batch["use_mask_as_points"])
+
+        (loss, (out, losses)), grads = jax.value_and_grad(
+            _forward_and_loss, has_aux=True)(params, prep, K, config,
+                                             batch["sample_valid"])
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        pred = jnp.round(out.pred).astype(jnp.int32)
+        target = prep.target
+        mvalid = prep.valid & (target >= 0)
+        metrics = {
+            "loss": losses.loss,
+            "accuracy": device_accuracy(pred, target, mvalid),
+            "dice": device_dice(pred, target, mvalid),
+            "labeled_sp_ratio": losses.labeled_sp_ratio,
+            "propagated_labels": losses.propagated_labels,
+            "propagate_loss": losses.propagate_loss,
+        }
+        return params, opt_state, loss, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
+    """Validation/inference step: no augmentation, no gradients."""
+    H, W = canvas_hw
+    K = n_clusters(H, W, config.sp_area)
+    pre = functools.partial(_preprocess_sample, config=config, train=False,
+                            point_mode=False)
+
+    def step(params, batch, rng):
+        B = batch["image"].shape[0]
+        rngs = jax.random.split(rng, B)
+        prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
+                             batch["pixel_mask"], batch["points"],
+                             batch["point_valid"], batch["use_mask_as_points"])
+        compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                         else jnp.float32)
+        out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
+                                       prep.valid, compute_dtype)
+        pred = jnp.round(out.pred).astype(jnp.int32)
+        target = prep.target
+        mvalid = prep.valid & (target >= 0)
+        metrics = {
+            "accuracy": device_accuracy(pred, target, mvalid),
+            "dice": device_dice(pred, target, mvalid),
+        }
+        return out.pred, metrics
+
+    return jax.jit(step)

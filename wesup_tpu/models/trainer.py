@@ -1,0 +1,237 @@
+"""WESUPTrainer: wires config, data, jitted steps, mesh, and records.
+
+Parity targets (reference models/wesup.py:403-547): dataset selection by
+``points/`` presence, SGD(lr=5e-5, momentum, weight_decay) over trainable
+params, loss = CE + 0.5 * propagation CE, tracked metrics
+(loss/accuracy/dice/labeled_sp_ratio/propagated_labels/propagate_loss),
+per-epoch history + checkpoints.
+
+TPU-native: preprocessing (augment + SLIC) happens inside the jitted step;
+batches ride a ('data', 'model') mesh; params live replicated (or
+tensor-parallel for the MLP) as jax.Arrays with explicit shardings.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WESUPConfig, merge_config
+from ..data.datasets import Digest2019PointDataset, SegmentationDataset
+from ..data.loader import CanvasBatcher, CanvasSpec, infer_canvas
+from ..parallel import (batch_sharding, make_mesh, param_sharding,
+                        replicated_sharding)
+from . import steps, wesup
+from .base import BaseTrainer, timed_phase
+
+
+class WESUPTrainer(BaseTrainer):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.config = merge_config(WESUPConfig(), **kwargs)
+        self.mesh = make_mesh(self.config.num_devices,
+                              kwargs.get("model_parallel", 1))
+
+        key = jax.random.PRNGKey(self.config.seed)
+        self.params = wesup.init_params(key, n_classes=self.config.n_classes,
+                                        D=self.config.sp_feature_dim)
+        self.tx = steps.make_optimizer(self.config)
+        self.opt_state = self.tx.init(self.params)
+        self._rng = jax.random.PRNGKey(self.config.seed + 1)
+        self._step_cache = {}
+        self.dataloaders = {}
+        self._place_state()
+
+    # ------------------------------------------------------------------
+    # state management
+    # ------------------------------------------------------------------
+
+    def _place_state(self):
+        rep = replicated_sharding(self.mesh)
+        pspec = param_sharding(self.mesh, self.params)
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), self.params, pspec)
+        self.opt_state = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), self.opt_state)
+
+    def state_dict(self):
+        import flax.serialization as ser
+
+        return {
+            "params": ser.to_state_dict(
+                jax.tree.map(np.asarray, self.params)),
+            "opt_state": ser.to_state_dict(
+                jax.tree.map(np.asarray, self.opt_state)),
+        }
+
+    def load_state_dict(self, state):
+        import flax.serialization as ser
+
+        self.params = ser.from_state_dict(self.params, state["params"])
+        if "opt_state" in state:
+            self.opt_state = ser.from_state_dict(self.opt_state,
+                                                 state["opt_state"])
+        self._place_state()
+
+    def load_torch_model_state(self, state_dict):
+        self.params = wesup.convert_torch_state_dict(state_dict)
+        self.opt_state = self.tx.init(self.params)
+        self._place_state()
+
+    def setup_optimizer(self):
+        pass  # built in __init__; epochs/CLI kwargs don't change it
+
+    def current_lr(self):
+        return float(self.config.lr)
+
+    # ------------------------------------------------------------------
+    # data (reference get_default_dataset, models/wesup.py:436-443)
+    # ------------------------------------------------------------------
+
+    def get_default_dataset(self, root_dir, train=True, proportion=1.0):
+        root_dir = Path(root_dir)
+        if train:
+            if (root_dir / "points").exists():
+                return Digest2019PointDataset(
+                    root_dir, proportion=proportion,
+                    multiscale_range=self.config.multiscale_range,
+                    seed=self.config.seed)
+            return SegmentationDataset(
+                root_dir, proportion=proportion,
+                multiscale_range=self.config.multiscale_range,
+                seed=self.config.seed)
+        return SegmentationDataset(
+            root_dir, rescale_factor=self.config.rescale_factor, train=False)
+
+    def setup_dataloaders(self, train_path, val_path, proportion=1.0):
+        bs = int(self.kwargs.get("batch_size", self.config.batch_size))
+        n_data = self.mesh.shape.get("data", 1)
+        if bs % n_data != 0 and bs != 1:
+            raise ValueError(f"batch_size {bs} not divisible by data shards {n_data}")
+
+        train_ds = self.get_default_dataset(train_path, proportion=proportion)
+        train_ds.summary(logger=self.logger)
+        self._point_mode = (Path(train_path) / "points").exists()
+        canvas = self.config.canvas_size
+        if canvas is not None:
+            spec = CanvasSpec(canvas[0], canvas[1], n_classes=self.config.n_classes)
+        else:
+            spec = infer_canvas(train_ds, n_classes=self.config.n_classes)
+        self.logger.info(f"Train canvas: {spec.height}x{spec.width}")
+        self.dataloaders = {
+            "train": CanvasBatcher(train_ds, spec, batch_size=bs, shuffle=True,
+                                   seed=self.config.seed)
+        }
+        self._train_spec = spec
+
+        if val_path is not None:
+            val_ds = self.get_default_dataset(val_path, train=False)
+            val_ds.summary(logger=self.logger)
+            vspec = infer_canvas(val_ds, n_classes=self.config.n_classes)
+            self.logger.info(f"Val canvas: {vspec.height}x{vspec.width}")
+            self.dataloaders["val"] = CanvasBatcher(val_ds, vspec,
+                                                    batch_size=max(1, n_data))
+
+    # ------------------------------------------------------------------
+    # steps
+    # ------------------------------------------------------------------
+
+    def _get_step(self, kind: str, hw):
+        key = (kind, hw)
+        if key not in self._step_cache:
+            if kind == "train":
+                self._step_cache[key] = steps.make_train_step(
+                    self.config, hw, point_mode=self._point_mode, tx=self.tx)
+            else:
+                self._step_cache[key] = steps.make_eval_step(self.config, hw)
+        return self._step_cache[key]
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _put_batch(self, batch):
+        sh = batch_sharding(self.mesh)
+        B = batch["image"].shape[0]
+        if B % self.mesh.shape.get("data", 1) != 0:
+            sh = replicated_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    # epoch loop
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(self, no_val=False):
+        phases = ["train"] if no_val else ["train", "val"]
+        for phase in phases:
+            with timed_phase(self.logger, phase):
+                if phase == "train":
+                    self.tracker.train()
+                    self._run_train_phase()
+                else:
+                    self.tracker.eval()
+                    self._run_val_phase()
+            self.logger.info(self.tracker.log())
+
+    def _run_train_phase(self):
+        loader = self.dataloaders["train"]
+        spec = self._train_spec
+        step = self._get_step("train", (spec.height, spec.width))
+        for batch in loader:
+            try:
+                sample_valid = batch["sample_valid"].copy()
+                dev_batch = self._put_batch(batch)
+                self.params, self.opt_state, loss, metrics = step(
+                    self.params, self.opt_state, dev_batch, self._next_rng())
+                loss = float(loss)
+                if np.isnan(loss):
+                    raise ValueError("Loss is nan!")
+                self._track(metrics, sample_valid, extra={"loss": None})
+            except RuntimeError as ex:  # parity: swallow per-iteration errors
+                self.logger.exception(ex)
+
+    def _run_val_phase(self):
+        loader = self.dataloaders["val"]
+        spec = loader.spec
+        step = self._get_step("eval", (spec.height, spec.width))
+        for batch in loader:
+            try:
+                sample_valid = batch["sample_valid"].copy()
+                dev_batch = self._put_batch(batch)
+                _, metrics = step(self.params, dev_batch, self._next_rng())
+                self._track(metrics, sample_valid)
+            except RuntimeError as ex:
+                self.logger.exception(ex)
+
+    def _track(self, metrics, sample_valid, extra=None):
+        """Append per-image metric values (reference averages per image)."""
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        for i, ok in enumerate(sample_valid):
+            if not ok:
+                continue
+            self.tracker.step({k: float(v[i]) if v.ndim else float(v)
+                               for k, v in metrics.items()})
+
+    # ------------------------------------------------------------------
+    # inference-facing API (used by infer CLIs)
+    # ------------------------------------------------------------------
+
+    def predict_probs(self, image_u8: np.ndarray) -> np.ndarray:
+        """Superpixel-wise foreground probability map for one RGB image."""
+        h, w = image_u8.shape[:2]
+        H = ((h + 31) // 32) * 32
+        W = ((w + 31) // 32) * 32
+        spec = CanvasSpec(H, W, n_classes=self.config.n_classes)
+        from ..data.loader import place_on_canvas
+
+        item = place_on_canvas({"image": image_u8, "pixel_mask": None,
+                                "points": None, "use_mask_as_points": False},
+                               spec)
+        batch = {k: v[None] for k, v in item.items()}
+        self._point_mode = getattr(self, "_point_mode", False)
+        step = self._get_step("eval", (H, W))
+        pred, _ = step(self.params, self._put_batch(batch), self._next_rng())
+        return np.asarray(pred)[0, :h, :w]
