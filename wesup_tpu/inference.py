@@ -1,0 +1,185 @@
+"""Inference engine: multi-scale and tiled prediction.
+
+Reproduces all four reference inference strategies with exact output-math
+parity, but batched and device-resident:
+
+- superpixel-wise whole image (reference infer.py:24-97): per scale,
+  bilinear-resize, SLIC + forward, per-scale ROUND, nearest-resize back,
+  mean over scales, round, and for multi-scale a morphological opening with
+  the reference's off-center 9x9 cross (infer.py:84-92);
+- pixel-wise whole image (reference pixel_infer.py:40-56): per scale,
+  forward, bilinear-upsample the PROBABILITY map (align_corners=True), mean,
+  round — note: no per-scale rounding here, unlike the superpixel path;
+- tiled variants (reference infer_tile.py:23-91): np.linspace-spaced
+  overlapping tiles, running-average stitching with an overlap counter.
+  Tiles are gathered into a single batch and pushed through the model in
+  device-sized chunks instead of one forward per patch.
+
+Resizes use the same interpolation matrices as the device ops
+(ops/resize._interp_matrix), i.e. exact torch F.interpolate semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import product
+
+import numpy as np
+
+from .models import steps
+from .ops.morphology import opening, reference_cross_selem
+from .ops.resize import _interp_matrix, _nearest_index
+
+
+def _round_up(x, m=32):
+    return ((x + m - 1) // m) * m
+
+
+def host_resize_bilinear(img: np.ndarray, out_hw, align_corners=False):
+    """(H, W, C) or (H, W) float resize, exact torch parity, on host."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[:2]
+    A_h = _interp_matrix(H, int(out_hw[0]), align_corners)
+    A_w = _interp_matrix(W, int(out_hw[1]), align_corners)
+    out = np.einsum("oh,hwc->owc", A_h, img.astype(np.float32))
+    out = np.einsum("pw,owc->opc", A_w, out)
+    return out[..., 0] if squeeze else out
+
+
+def host_resize_nearest(img: np.ndarray, out_hw):
+    iy = _nearest_index(img.shape[0], int(out_hw[0]))
+    ix = _nearest_index(img.shape[1], int(out_hw[1]))
+    return img[iy[:, None], ix[None, :]]
+
+
+class Predictor:
+    """Caches jitted predict steps per canvas shape."""
+
+    def __init__(self, params, config, mode: str = "superpixel"):
+        self.params = params
+        self.config = config
+        self.mode = mode
+        self._cache = {}
+
+    def _step(self, hw):
+        if hw not in self._cache:
+            self._cache[hw] = steps.make_predict_step(self.config, hw, self.mode)
+        return self._cache[hw]
+
+    def predict_padded(self, images_f: np.ndarray) -> np.ndarray:
+        """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability."""
+        import jax.numpy as jnp
+
+        B, h, w = images_f.shape[:3]
+        H, W = _round_up(h), _round_up(w)
+        canvas = np.empty((B, H, W, 3), np.float32)
+        canvas[:, :h, :w] = images_f
+        if w < W:
+            canvas[:, :h, w:] = images_f[:, :, w - 1:w]
+        if h < H:
+            canvas[:, h:, :] = canvas[:, h - 1:h, :]
+        valid = np.zeros((B, H, W), bool)
+        valid[:, :h, :w] = True
+
+        step = self._step((H, W))
+        pred = step(self.params, jnp.asarray((canvas * 255).astype(np.uint8)),
+                    jnp.asarray(valid))
+        return np.asarray(pred)[:, :h, :w]
+
+
+def predict_multiscale(predictor: Predictor, img_u8: np.ndarray,
+                       scales=(0.5,), input_size=None) -> np.ndarray:
+    """Whole-image multi-scale prediction for one (H0, W0, 3) uint8 image.
+
+    Returns the binarized (H0, W0) float mask (values 0/1)."""
+    H0, W0 = img_u8.shape[:2]
+    img_f = img_u8.astype(np.float32) / 255.0
+    sp_mode = predictor.mode == "superpixel"
+
+    if input_size is not None:
+        sizes = [tuple(input_size)]
+    else:
+        sizes = [(math.ceil(H0 * s), math.ceil(W0 * s)) for s in scales]
+
+    preds = []
+    for (th, tw) in sizes:
+        scaled = host_resize_bilinear(img_f, (th, tw),
+                                      align_corners=not sp_mode)
+        prob = predictor.predict_padded(scaled[None])[0]
+        if sp_mode:
+            # reference rounds per scale then nearest-upsamples
+            # (infer.py:24-33, postprocess at models/wesup.py:533-537)
+            pred = np.round(prob)
+            preds.append(host_resize_nearest(pred, (H0, W0)))
+        else:
+            # reference bilinear-upsamples probabilities (pixel_infer.py:47-52)
+            preds.append(host_resize_bilinear(prob, (H0, W0),
+                                              align_corners=True))
+
+    if sp_mode:
+        fused = np.round(np.mean(preds, axis=0)) if input_size is None \
+            else preds[0]
+        if input_size is None and len(scales) > 1:
+            fused = opening(fused, reference_cross_selem(9))
+    else:
+        fused = np.round(np.mean(preds, axis=0))
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# Tiling (math parity with reference infer_tile.py:23-91)
+# ---------------------------------------------------------------------------
+
+def get_top_left_coordinates(height, width, patch_size):
+    n_h = math.ceil(height / patch_size)
+    n_w = math.ceil(width / patch_size)
+    tops = np.linspace(0, height - patch_size, n_h, dtype=int)
+    lefts = np.linspace(0, width - patch_size, n_w, dtype=int)
+    return list(product(tops, lefts))
+
+
+def divide_image_to_patches(img: np.ndarray, patch_size: int) -> np.ndarray:
+    assert img.ndim == 3 and img.shape[-1] == 3
+    coords = get_top_left_coordinates(img.shape[0], img.shape[1], patch_size)
+    return np.stack([img[t:t + patch_size, l:l + patch_size]
+                     for t, l in coords]).astype("uint8")
+
+
+def combine_patches_to_image(patches: np.ndarray, target_height: int,
+                             target_width: int) -> np.ndarray:
+    """Running-average stitch with an overlap counter channel
+    (reference infer_tile.py:59-91)."""
+    patch_size = patches.shape[1]
+    coords = get_top_left_coordinates(target_height, target_width, patch_size)
+    if patches.ndim == 3:
+        patches = patches[..., None]
+    combined = np.zeros((target_height, target_width, patches.shape[-1] + 1))
+    for counter, (top, left) in enumerate(coords):
+        sl = np.s_[top:top + patch_size, left:left + patch_size]
+        patch = combined[sl][..., :-1]
+        overlaps = combined[sl][..., -1:]
+        combined[sl][..., :-1] = (patch * overlaps + patches[counter]) / (overlaps + 1)
+        combined[sl][..., -1:] = overlaps + 1
+    return np.squeeze(combined[..., :-1])
+
+
+def predict_tiled(predictor: Predictor, img_u8: np.ndarray, patch_size: int,
+                  chunk: int = 8, round_patches: bool = True) -> np.ndarray:
+    """Tiled prediction: batched patch gather -> chunked device forwards ->
+    overlap-averaged stitch.
+
+    round_patches=True reproduces the superpixel-tile path, where each patch
+    goes through postprocess (round) before stitching (infer_tile.py:108-110);
+    the pixel-tile path stitches raw probabilities (pixel_infer_tile.py:52-57).
+    """
+    H0, W0 = img_u8.shape[:2]
+    patches = divide_image_to_patches(img_u8, patch_size)
+    outs = []
+    for i in range(0, len(patches), chunk):
+        block = patches[i:i + chunk].astype(np.float32) / 255.0
+        prob = predictor.predict_padded(block)
+        outs.append(np.round(prob) if round_patches else prob)
+    preds = np.concatenate(outs, axis=0)
+    return combine_patches_to_image(preds, H0, W0)

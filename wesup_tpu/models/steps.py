@@ -214,6 +214,40 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
+    """Pure prediction step for inference CLIs.
+
+    mode='superpixel': SLIC + superpixel classification -> (B, H, W) fg prob
+    (reference WESUP.forward).  mode='pixel': per-pixel hypercolumn
+    classification -> (B, H, W) fg prob (reference WESUPPixelInference).
+    """
+    H, W = canvas_hw
+    compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+    if mode == "superpixel":
+        K = n_clusters(H, W, config.sp_area)
+
+        def step(params, image_u8, valid):
+            img = image_u8.astype(jnp.float32) / 255.0
+            seg = jax.vmap(lambda im, v: slic(
+                im, v, sp_area=config.sp_area,
+                compactness=config.sp_compactness,
+                n_iters=config.slic_iters))(img, valid)
+            out = wesup.forward_superpixel(params, img, seg, K, valid,
+                                           compute_dtype)
+            return out.pred
+    elif mode == "pixel":
+        def step(params, image_u8, valid):
+            img = image_u8.astype(jnp.float32) / 255.0
+            probs = wesup.forward_pixel(params, img, compute_dtype)
+            return probs[..., 1]
+    else:
+        raise ValueError(f"unknown predict mode: {mode}")
+
+    return jax.jit(step)
+
+
 def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     """Validation/inference step: no augmentation, no gradients."""
     H, W = canvas_hw
