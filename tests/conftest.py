@@ -23,8 +23,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# The axon sitecustomize force-overrides JAX_PLATFORMS to "axon,cpu"; undo it
-# through the config API (must happen before any backend is initialized).
+# The axon sitecustomize force-overrides JAX_PLATFORMS to "axon,cpu" and
+# swallows the cache env vars; undo through the config API (must happen
+# before any backend is initialized).
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,88 @@
+"""Device-side augmentation: geometric consistency of images vs points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wesup_tpu.ops import augment as aug
+
+
+def test_affine_points_follow_image():
+    """A bright dot warped with order=0 must land where the transformed
+    point coordinates say it lands."""
+    H, W = 64, 64
+    img = np.zeros((H, W), np.float32)
+    img[20, 30] = 1.0
+
+    for seed in range(6):
+        A = aug.random_affine(jax.random.PRNGKey(seed), (H, W))
+        warped = np.asarray(aug.warp(jnp.asarray(img), A, order=0))
+        pt = np.asarray(aug.transform_points(
+            jnp.asarray([[30.0, 20.0]]), A))[0]  # xy order
+        x, y = int(round(float(pt[0]))), int(round(float(pt[1])))
+        ys, xs = np.where(warped > 0.5)
+        if len(ys) == 0:
+            # dot warped out of frame -> point must be out of bounds too
+            assert not (0 <= x < W and 0 <= y < H), (pt, seed)
+            continue
+        # nearest-resampled dot may shift by a pixel vs the exact coord
+        d = np.min(np.abs(ys - y) + np.abs(xs - x))
+        assert d <= 1.5, (seed, pt, list(zip(ys, xs)))
+
+
+def test_identity_affine_is_noop():
+    cfg = aug.PositionConfig(hflip_p=0.0, vflip_p=0.0, ssr_p=0.0)
+    A = aug.random_affine(jax.random.PRNGKey(0), (16, 16), cfg)
+    np.testing.assert_allclose(np.asarray(A), np.eye(3), atol=1e-6)
+    img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    out = np.asarray(aug.warp(jnp.asarray(img), A, order=1))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_hflip_only():
+    cfg = aug.PositionConfig(hflip_p=1.0, vflip_p=0.0, ssr_p=0.0)
+    A = aug.random_affine(jax.random.PRNGKey(0), (8, 10), cfg)
+    img = np.arange(80, dtype=np.float32).reshape(8, 10)
+    out = np.asarray(aug.warp(jnp.asarray(img), A, order=0))
+    np.testing.assert_allclose(out, img[:, ::-1], atol=1e-5)
+
+
+def test_appearance_stays_in_range_and_changes_image():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    out = aug.random_appearance(jax.random.PRNGKey(1), img)
+    out = np.asarray(out)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert not np.allclose(out, np.asarray(img))
+
+
+def test_hsv_roundtrip():
+    from wesup_tpu.ops.colorspace import hsv_to_rgb, rgb_to_hsv
+
+    rng = np.random.default_rng(2)
+    rgb = jnp.asarray(rng.random((50, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_rgb2lab_matches_known_values():
+    from wesup_tpu.ops.colorspace import rgb2lab
+
+    # white -> L=100, a~0, b~0 ; black -> 0,0,0
+    lab = np.asarray(rgb2lab(jnp.asarray([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0],
+                                          [1.0, 0.0, 0.0]])))
+    np.testing.assert_allclose(lab[0], [100.0, 0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(lab[1], [0.0, 0.0, 0.0], atol=0.1)
+    # sRGB red in CIELAB (D65): approx (53.24, 80.09, 67.20)
+    np.testing.assert_allclose(lab[2], [53.24, 80.09, 67.20], atol=0.5)
+
+
+def test_elastic_preserves_shapes():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((40, 40, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 2, (40, 40)).astype(np.float32))
+    out_img, out_mask = aug.random_elastic(jax.random.PRNGKey(0), img, mask)
+    assert out_img.shape == img.shape
+    assert out_mask.shape == mask.shape
+    # nearest-resampled mask stays binary
+    assert set(np.unique(np.asarray(out_mask))).issubset({0.0, 1.0})

@@ -18,3 +18,7 @@ propagation.  This package re-designs the whole pipeline TPU-first:
 """
 
 __version__ = "0.1.0"
+
+from . import runtime as _runtime
+
+_runtime.enable_compilation_cache()

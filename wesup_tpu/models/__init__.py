@@ -1,5 +1,10 @@
 """Model layer: VGG16 backbone, WESUP model + trainer, factory."""
 
+from ..config import WESUPConfig  # noqa: F401
+from . import vgg, wesup  # noqa: F401
+from .wesup import (convert_torch_state_dict, forward_pixel,  # noqa: F401
+                    forward_superpixel, init_params)
+
 
 def initialize_trainer(model_type, **kwargs):
     """Map a model name to its trainer (reference models/__init__.py:9-19)."""

@@ -180,6 +180,25 @@ class WESUPTrainer(BaseTrainer):
         loader = self.dataloaders["train"]
         spec = self._train_spec
         step = self._get_step("train", (spec.height, spec.width))
+        # tracing/profiling subsystem (SURVEY.md §5): `profile_dir=...` traces
+        # the first profiled epoch's steps into a Perfetto/XPlane dump viewable
+        # in xprof/tensorboard; the reference has only wall-clock phase timing
+        # (models/base.py:224,239).
+        profile_dir = self.kwargs.get("profile_dir")
+        if profile_dir and not getattr(self, "_profiled", False):
+            import jax.profiler
+
+            self._profiled = True
+            jax.profiler.start_trace(str(profile_dir))
+            try:
+                self._train_phase_loop(loader, step)
+            finally:
+                jax.profiler.stop_trace()
+                self.logger.info(f"Profiler trace written to {profile_dir}")
+            return
+        self._train_phase_loop(loader, step)
+
+    def _train_phase_loop(self, loader, step):
         for batch in loader:
             try:
                 sample_valid = batch["sample_valid"].copy()

@@ -113,30 +113,45 @@ def _fc1_blocks(params) -> List[jnp.ndarray]:
     return blocks
 
 
-def hypercolumn_projection(params: dict, img: jnp.ndarray,
-                           compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Shared pre-ReLU fc1 map: (B, H, W, 1024), bias already included."""
+def hypercolumn_projection_parts(params: dict, img: jnp.ndarray,
+                                 compute_dtype=jnp.float32):
+    """Shared pre-ReLU fc1 map WITHOUT bias: ((B, H, W, 1024), bias (1024,)).
+
+    Taps within one resolution stage are concatenated and projected with a
+    single fused matmul; the bias (fc1 bias + all side-conv bias
+    contributions) is returned separately so heads can add it AFTER pooling
+    (mean of a constant is the constant), keeping the big map in bf16.
+    """
     B, H, W = img.shape[:3]
     taps = vgg.backbone_features(params["backbone"], img, compute_dtype)
     w1_blocks = _fc1_blocks(params)
 
     bias = params["fc1"]["b"].astype(jnp.float32)
-    stage_maps = {}
-    for i, tap in enumerate(taps):
+    for i in range(len(taps)):
         side = params["side"][f"side{i}"]
-        # combined projection (C_i, 1024) = side_w @ fc1_block
-        proj = (side["w"].astype(jnp.float32)
-                @ w1_blocks[i].astype(jnp.float32)).astype(compute_dtype)
-        z = jnp.einsum("bhwc,cd->bhwd", tap, proj,
-                       preferred_element_type=jnp.float32).astype(compute_dtype)
-        s = vgg.CONV_STAGE[i]
-        stage_maps[s] = stage_maps.get(s, 0) + z
-        bias = bias + side["b"].astype(jnp.float32) @ w1_blocks[i].astype(jnp.float32)
+        bias = bias + (side["b"].astype(jnp.float32)
+                       @ w1_blocks[i].astype(jnp.float32))
 
-    out = jnp.zeros((B, H, W, 1024), dtype=compute_dtype)
-    for s, zmap in sorted(stage_maps.items()):
-        out = out + resize_bilinear(zmap, (H, W), align_corners=True)
-    return out.astype(jnp.float32) + bias
+    # group taps by resolution stage; one concat + one matmul per stage
+    out = None
+    for s in range(5):
+        idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
+        stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
+        proj = jnp.concatenate([
+            (params["side"][f"side{i}"]["w"].astype(jnp.float32)
+             @ w1_blocks[i].astype(jnp.float32)) for i in idxs
+        ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
+        z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
+        z = resize_bilinear(z, (H, W), align_corners=True)
+        out = z if out is None else out + z
+    return out, bias
+
+
+def hypercolumn_projection(params: dict, img: jnp.ndarray,
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Biased pre-ReLU fc1 map (B, H, W, 1024) in float32 (test/naive path)."""
+    z, bias = hypercolumn_projection_parts(params, img, compute_dtype)
+    return z.astype(jnp.float32) + bias
 
 
 def _mlp_head(params, x: jnp.ndarray):
@@ -146,11 +161,13 @@ def _mlp_head(params, x: jnp.ndarray):
     features are the D-dim fc3 outputs used for label propagation
     (reference models/wesup.py:288-292).
     """
+    dt = x.dtype
     h = jax.nn.relu(x)
-    h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
-    feats = jax.nn.relu(h @ params["fc3"]["w"] + params["fc3"]["b"])
-    logits = feats @ params["cls"]["w"] + params["cls"]["b"]
-    return jax.nn.softmax(logits, axis=-1), feats
+    h = jax.nn.relu(h @ params["fc2"]["w"].astype(dt) + params["fc2"]["b"].astype(dt))
+    feats = jax.nn.relu(h @ params["fc3"]["w"].astype(dt) + params["fc3"]["b"].astype(dt))
+    logits = feats @ params["cls"]["w"].astype(dt) + params["cls"]["b"].astype(dt)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return probs, feats.astype(jnp.float32)
 
 
 class SuperpixelForward(NamedTuple):
@@ -170,20 +187,19 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
         valid: (B, H, W) bool canvas validity
     """
     B, H, W = img.shape[:3]
-    z = hypercolumn_projection(params, img, compute_dtype)  # (B,H,W,1024) f32
+    z, bias = hypercolumn_projection_parts(params, img, compute_dtype)
 
     def pool_one(z_i, seg_i, valid_i):
         oh = seg_ops.one_hot_assignment(seg_i, K, valid_i, dtype=compute_dtype)
         counts = oh.sum(axis=0)
-        pooled = seg_ops.segment_mean(z_i.reshape(-1, z_i.shape[-1])
-                                      .astype(compute_dtype), oh, counts)
+        pooled = seg_ops.segment_mean(z_i.reshape(-1, z_i.shape[-1]), oh, counts)
         return pooled
 
     if valid is None:
         valid = jnp.ones((B, H, W), bool)
     pooled = jax.vmap(pool_one)(z, seg, valid)  # (B, K, 1024) f32
 
-    sp_pred, sp_feats = _mlp_head(params, pooled)
+    sp_pred, sp_feats = _mlp_head(params, pooled + bias)
     fg = jax.vmap(seg_ops.paint)(seg, sp_pred[..., 1])  # (B, H, W)
     return SuperpixelForward(sp_pred, sp_feats, fg)
 
@@ -195,8 +211,8 @@ def forward_pixel(params: dict, img: jnp.ndarray,
 
     Returns (B, H, W, C) softmax probabilities.
     """
-    z = hypercolumn_projection(params, img, compute_dtype)
-    probs, _ = _mlp_head(params, z)
+    z, bias = hypercolumn_projection_parts(params, img, compute_dtype)
+    probs, _ = _mlp_head(params, z + bias.astype(z.dtype))
     return probs
 
 

@@ -1,0 +1,38 @@
+"""Runtime/platform configuration helpers.
+
+This environment's axon TPU plugin installs a sitecustomize that rewrites
+``jax_platforms`` and swallows JAX's cache env vars, so configuration must go
+through ``jax.config.update`` AFTER importing jax.  Centralized here; every
+entry point calls :func:`configure` early.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache (big win: this host has 1 CPU core,
+    cold compiles of the fused train step take minutes)."""
+    import jax
+
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or "/tmp/jax_comp_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+def force_platform(platform: str):
+    """Override the sitecustomize-pinned platform list ('cpu' or 'axon')."""
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+def configure(platform: str | None = None):
+    enable_compilation_cache()
+    if platform:
+        force_platform(platform)

@@ -79,3 +79,13 @@ class HistoryTracker:
             + "\n"
             + metrics
         )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("csv_path", help="Path to history csv file")
+    parser.add_argument("-l", "--last-n-epochs", type=int, default=5)
+    args = parser.parse_args()
+    print(HistoryTracker(args.csv_path).report(args.last_n_epochs))
