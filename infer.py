@@ -12,7 +12,7 @@ import numpy as np
 
 from wesup_tpu import cli
 from wesup_tpu.data.datasets import SegmentationDataset
-from wesup_tpu.inference import Predictor, predict_multiscale
+from wesup_tpu.inference import Predictor, predict_multiscale_batch
 from wesup_tpu.models import initialize_trainer
 
 
@@ -35,13 +35,13 @@ def infer(trainer, data_dir, output_dir=None, input_size=None, scales=(0.5,),
                  else f"scales {scales}")
     print(f"\nPredicting {len(dataset)} images with {size_info} ...")
 
-    predictions = []
-    for idx in range(len(dataset)):
-        img = cv2.cvtColor(cv2.imread(str(dataset.img_paths[dataset.picked[idx]])),
-                           cv2.COLOR_BGR2RGB)
-        pred = predict_multiscale(predictor, img, scales=scales,
-                                  input_size=input_size)
-        predictions.append(pred)
+    imgs = [
+        cv2.cvtColor(cv2.imread(str(dataset.img_paths[dataset.picked[i]])),
+                     cv2.COLOR_BGR2RGB)
+        for i in range(len(dataset))
+    ]
+    predictions = predict_multiscale_batch(predictor, imgs, scales=scales,
+                                           input_size=input_size)
 
     if output_dir is not None:
         save_predictions(predictions, dataset, output_dir)

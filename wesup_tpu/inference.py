@@ -94,38 +94,66 @@ def predict_multiscale(predictor: Predictor, img_u8: np.ndarray,
     """Whole-image multi-scale prediction for one (H0, W0, 3) uint8 image.
 
     Returns the binarized (H0, W0) float mask (values 0/1)."""
-    H0, W0 = img_u8.shape[:2]
-    img_f = img_u8.astype(np.float32) / 255.0
+    return predict_multiscale_batch(predictor, [img_u8], scales=scales,
+                                    input_size=input_size)[0]
+
+
+def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
+                             input_size=None, max_batch: int = 8):
+    """Multi-scale prediction over a list of images.
+
+    Same-shaped images are grouped and pushed through the device as batches
+    (the reference runs one forward per image per scale, infer.py:59-79) —
+    on GlaS, where images share a handful of sizes, this fills the chip.
+    Output math is identical to the per-image path.
+    """
     sp_mode = predictor.mode == "superpixel"
+    results = [None] * len(imgs_u8)
 
-    if input_size is not None:
-        sizes = [tuple(input_size)]
-    else:
-        sizes = [(math.ceil(H0 * s), math.ceil(W0 * s)) for s in scales]
+    groups = {}
+    for idx, img in enumerate(imgs_u8):
+        groups.setdefault(img.shape[:2], []).append(idx)
 
-    preds = []
-    for (th, tw) in sizes:
-        scaled = host_resize_bilinear(img_f, (th, tw),
-                                      align_corners=not sp_mode)
-        prob = predictor.predict_padded(scaled[None])[0]
-        if sp_mode:
-            # reference rounds per scale then nearest-upsamples
-            # (infer.py:24-33, postprocess at models/wesup.py:533-537)
-            pred = np.round(prob)
-            preds.append(host_resize_nearest(pred, (H0, W0)))
+    for (H0, W0), idxs in groups.items():
+        if input_size is not None:
+            sizes = [tuple(input_size)]
         else:
-            # reference bilinear-upsamples probabilities (pixel_infer.py:47-52)
-            preds.append(host_resize_bilinear(prob, (H0, W0),
-                                              align_corners=True))
+            sizes = [(math.ceil(H0 * s), math.ceil(W0 * s)) for s in scales]
 
-    if sp_mode:
-        fused = np.round(np.mean(preds, axis=0)) if input_size is None \
-            else preds[0]
-        if input_size is None and len(scales) > 1:
-            fused = opening(fused, reference_cross_selem(9))
-    else:
-        fused = np.round(np.mean(preds, axis=0))
-    return fused
+        acc = [None] * len(idxs)
+        for (th, tw) in sizes:
+            for start in range(0, len(idxs), max_batch):
+                chunk = idxs[start:start + max_batch]
+                scaled = np.stack([
+                    host_resize_bilinear(
+                        imgs_u8[i].astype(np.float32) / 255.0, (th, tw),
+                        align_corners=not sp_mode)
+                    for i in chunk])
+                probs = predictor.predict_padded(scaled)
+                for j, i in enumerate(chunk):
+                    pos = start + j
+                    if sp_mode:
+                        # reference rounds per scale then nearest-upsamples
+                        # (infer.py:24-33, models/wesup.py:533-537)
+                        up = host_resize_nearest(np.round(probs[j]), (H0, W0))
+                    else:
+                        # reference bilinear-upsamples probabilities
+                        # (pixel_infer.py:47-52)
+                        up = host_resize_bilinear(probs[j], (H0, W0),
+                                                  align_corners=True)
+                    acc[pos] = up if acc[pos] is None else acc[pos] + up
+
+        for pos, i in enumerate(idxs):
+            fused = acc[pos] / len(sizes)
+            if sp_mode:
+                if input_size is None:
+                    fused = np.round(fused)
+                    if len(scales) > 1:
+                        fused = opening(fused, reference_cross_selem(9))
+            else:
+                fused = np.round(fused)
+            results[i] = fused
+    return results
 
 
 # ---------------------------------------------------------------------------
