@@ -39,6 +39,36 @@ def imread_mask(path) -> np.ndarray:
     return m
 
 
+class _DecodeCache:
+    """Bounded in-RAM cache of decoded images.
+
+    The reference re-decodes every image in DataLoader workers each epoch
+    (utils/data.py:156-159) — fine with many CPU cores, a bottleneck on this
+    single-core host feeding a TPU.  Histopathology training sets are small
+    (GlaS: 85 images ~100 MB decoded), so decoded full-resolution images are
+    cached; per-epoch multiscale resizing still happens per access.
+    """
+
+    def __init__(self, max_bytes: int = 8 << 30):
+        self.max_bytes = max_bytes
+        self.used = 0
+        self.store = {}
+
+    def get(self, path, reader):
+        key = str(path)
+        if key in self.store:
+            return self.store[key]
+        arr = reader(path)
+        if self.used + arr.nbytes <= self.max_bytes:
+            arr.setflags(write=False)
+            self.store[key] = arr
+            self.used += arr.nbytes
+        return arr
+
+
+_decode_cache = _DecodeCache()
+
+
 def resize_img(img: np.ndarray, target_hw) -> np.ndarray:
     """Bilinear resize to (H, W), uint8 (reference utils/data.py:28-30)."""
     th, tw = int(target_hw[0]), int(target_hw[1])
@@ -130,12 +160,12 @@ class SegmentationDataset:
     def _load_mask(self, idx):
         if self.mask_paths is None:
             return None
-        m = imread_mask(self.mask_paths[idx])
+        m = _decode_cache.get(self.mask_paths[idx], imread_mask)
         return m.astype(np.int32)
 
     def __getitem__(self, idx):
         idx = self.picked[idx]
-        img = imread_rgb(self.img_paths[idx])
+        img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
         img, mask, _, _ = self._resize(img, mask)
         if self.train and self._rng.random() < self.clahe_p:
@@ -199,7 +229,7 @@ class PointSupervisionDataset(SegmentationDataset):
 
     def __getitem__(self, idx):
         idx = self.picked[idx]
-        img = imread_rgb(self.img_paths[idx])
+        img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
         orig_hw = img.shape[:2]
         img, mask, target_hw, factor = self._resize(img, mask)
@@ -297,7 +327,7 @@ class WESUPV2Dataset(SegmentationDataset):
 
     def __getitem__(self, idx):
         pidx = self.picked[idx]
-        img = imread_rgb(self.img_paths[pidx])
+        img = _decode_cache.get(self.img_paths[pidx], imread_rgb)
         spl = np.load(self.spl_paths[pidx]) if self.spl_paths else None
         h, w = img.shape[:2]
         target, _ = self._pick_target_size(h, w)

@@ -175,16 +175,55 @@ def _forward_and_loss(params, prep: Preprocessed, K, config: WESUPConfig,
     return loss, (out, losses)
 
 
+TRAIN_METRIC_KEYS = ("loss", "accuracy", "dice", "labeled_sp_ratio",
+                     "propagated_labels", "propagate_loss")
+EVAL_METRIC_KEYS = ("accuracy", "dice")
+
+
+def init_metric_acc(keys=TRAIN_METRIC_KEYS):
+    """On-device metric accumulator: per-metric (sum, count) + NaN flag.
+
+    The axon TPU tunnel costs ~30 ms per device->host transfer; fetching
+    per-step metrics would triple the step time, so sums accumulate on device
+    and are read once per phase.  history.csv records epoch MEANS either way
+    (utils/history.py:46-64), so this is observationally equivalent to the
+    reference's per-image tracking; the NaN-loss abort fires at phase end
+    instead of mid-epoch.
+    """
+    import jax.numpy as jnp
+
+    return {
+        "sums": {k: jnp.zeros(()) for k in keys},
+        "count": jnp.zeros(()),
+        "nan": jnp.zeros((), bool),
+    }
+
+
+def _accumulate(acc, per_image: dict, sample_valid):
+    w = sample_valid.astype(jnp.float32)
+    sums = dict(acc["sums"])
+    nan = acc["nan"]
+    for k, v in per_image.items():
+        v = v.astype(jnp.float32)
+        sums[k] = sums[k] + jnp.sum(v * w)
+        nan = nan | jnp.any(jnp.isnan(v) & (w > 0))
+    return {"sums": sums, "count": acc["count"] + w.sum(), "nan": nan}
+
+
 def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
                     tx) -> callable:
-    """Build the jitted train step for a given canvas shape."""
+    """Build the jitted train step for a given canvas shape.
+
+    Signature: (params, opt_state, acc, batch, rng) ->
+               (params, opt_state, acc) — nothing is transferred per step.
+    """
     H, W = canvas_hw
     K = n_clusters(H, W, config.sp_area)
 
     pre = functools.partial(_preprocess_sample, config=config, train=True,
                             point_mode=point_mode)
 
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, acc, batch, rng):
         B = batch["image"].shape[0]
         rngs = jax.random.split(rng, B)
         prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
@@ -209,9 +248,10 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
             "propagated_labels": losses.propagated_labels,
             "propagate_loss": losses.propagate_loss,
         }
-        return params, opt_state, loss, metrics
+        acc = _accumulate(acc, metrics, batch["sample_valid"])
+        return params, opt_state, acc
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
 def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
@@ -255,7 +295,7 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     pre = functools.partial(_preprocess_sample, config=config, train=False,
                             point_mode=False)
 
-    def step(params, batch, rng):
+    def step(params, acc, batch, rng):
         B = batch["image"].shape[0]
         rngs = jax.random.split(rng, B)
         prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
@@ -272,6 +312,7 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
             "accuracy": device_accuracy(pred, target, mvalid),
             "dice": device_dice(pred, target, mvalid),
         }
-        return out.pred, metrics
+        acc = _accumulate(acc, metrics, batch["sample_valid"])
+        return out.pred, acc
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(1,))

@@ -158,7 +158,9 @@ class WESUPTrainer(BaseTrainer):
         B = batch["image"].shape[0]
         if B % self.mesh.shape.get("data", 1) != 0:
             sh = replicated_sharding(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        # one transfer for the whole pytree (per-array RPCs are ~30ms each
+        # through the axon tunnel)
+        return jax.device_put(batch, sh)
 
     # ------------------------------------------------------------------
     # epoch loop
@@ -199,40 +201,42 @@ class WESUPTrainer(BaseTrainer):
         self._train_phase_loop(loader, step)
 
     def _train_phase_loop(self, loader, step):
+        # metrics accumulate ON DEVICE (the axon tunnel costs ~30 ms per
+        # device->host transfer; per-step fetching tripled the step time);
+        # one fetch at phase end, NaN abort checked there (reference aborts
+        # mid-epoch, models/base.py:202-203 -- observationally equivalent
+        # since the epoch's history would be discarded either way)
+        acc = steps.init_metric_acc(steps.TRAIN_METRIC_KEYS)
         for batch in loader:
             try:
-                sample_valid = batch["sample_valid"].copy()
                 dev_batch = self._put_batch(batch)
-                self.params, self.opt_state, loss, metrics = step(
-                    self.params, self.opt_state, dev_batch, self._next_rng())
-                loss = float(loss)
-                if np.isnan(loss):
-                    raise ValueError("Loss is nan!")
-                self._track(metrics, sample_valid, extra={"loss": None})
+                self.params, self.opt_state, acc = step(
+                    self.params, self.opt_state, acc, dev_batch,
+                    self._next_rng())
             except RuntimeError as ex:  # parity: swallow per-iteration errors
                 self.logger.exception(ex)
+        self._track_acc(acc)
 
     def _run_val_phase(self):
         loader = self.dataloaders["val"]
         spec = loader.spec
         step = self._get_step("eval", (spec.height, spec.width))
+        acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
         for batch in loader:
             try:
-                sample_valid = batch["sample_valid"].copy()
                 dev_batch = self._put_batch(batch)
-                _, metrics = step(self.params, dev_batch, self._next_rng())
-                self._track(metrics, sample_valid)
+                _, acc = step(self.params, acc, dev_batch, self._next_rng())
             except RuntimeError as ex:
                 self.logger.exception(ex)
+        self._track_acc(acc)
 
-    def _track(self, metrics, sample_valid, extra=None):
-        """Append per-image metric values (reference averages per image)."""
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
-        for i, ok in enumerate(sample_valid):
-            if not ok:
-                continue
-            self.tracker.step({k: float(v[i]) if v.ndim else float(v)
-                               for k, v in metrics.items()})
+    def _track_acc(self, acc):
+        """Fetch the device accumulator once and record phase means."""
+        acc = jax.device_get(acc)
+        if bool(acc["nan"]):
+            raise ValueError("Loss is nan!")
+        n = max(float(acc["count"]), 1.0)
+        self.tracker.step({k: float(v) / n for k, v in acc["sums"].items()})
 
     # ------------------------------------------------------------------
     # inference-facing API (used by infer CLIs)
@@ -252,5 +256,7 @@ class WESUPTrainer(BaseTrainer):
         batch = {k: v[None] for k, v in item.items()}
         self._point_mode = getattr(self, "_point_mode", False)
         step = self._get_step("eval", (H, W))
-        pred, _ = step(self.params, self._put_batch(batch), self._next_rng())
+        acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
+        pred, _ = step(self.params, acc, self._put_batch(batch),
+                       self._next_rng())
         return np.asarray(pred)[0, :h, :w]

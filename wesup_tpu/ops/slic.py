@@ -180,27 +180,38 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
 
     scaled_feat = feat * inv_step
 
+    # per-offset candidate validity: out-of-grid neighbor cells are masked
+    # with +inf distance rather than clamped.  (Clamped candidates would
+    # duplicate the unclamped ones and could win argmin ties at borders,
+    # whose contributions the update's shift-add then drops.)
+    invalid_bias = []
+    for dy, dx in _OFFSETS:
+        rv = (plan.cell_y + dy >= 0) & (plan.cell_y + dy < Kh)
+        cv = (plan.cell_x + dx >= 0) & (plan.cell_x + dx < Kw)
+        invalid_bias.append(np.where(np.outer(rv, cv), 0.0, np.inf))
+    invalid_bias = jnp.asarray(np.stack(invalid_bias, -1), jnp.float32)
+
     def assign(centers):
         """Per-pixel argmin over the 9 neighboring cell centers.
 
+        All 9 shifted center grids are stacked channel-wise so the cell->pixel
+        broadcast is a single pair of constant-matrix products.
         Returns (best_offset_onehot (H, W, 9), seg (H, W) int32).
         """
-        best_d = jnp.full((H, W), jnp.inf, dtype=jnp.float32)
-        best_o = jnp.zeros((H, W), dtype=jnp.int32)
-        for o, (dy, dx) in enumerate(_OFFSETS):
-            cmap = _cell_to_pixel(plan, centers, dy, dx)  # (H, W, 5)
-            diff = scaled_feat - cmap * inv_step
-            d = jnp.sum(diff * diff, axis=-1)
-            take = d < best_d
-            best_d = jnp.where(take, d, best_d)
-            best_o = jnp.where(take, o, best_o)
+        stacked = jnp.concatenate(
+            [_shift_grid(centers, dy, dx) for dy, dx in _OFFSETS], axis=-1)
+        cmap = _cell_to_pixel(plan, stacked, 0, 0)  # (H, W, 9*5)
+        cmap = cmap.reshape(H, W, 9, 5)
+        diff = scaled_feat[:, :, None, :] - cmap * inv_step
+        d = jnp.sum(diff * diff, axis=-1) + invalid_bias  # (H, W, 9)
+        best_o = jnp.argmin(d, axis=-1).astype(jnp.int32)
         onehot = (best_o[..., None] ==
                   jnp.arange(9, dtype=jnp.int32)).astype(jnp.float32)
         cy = jnp.asarray(plan.cell_y)[:, None]
         cx = jnp.asarray(plan.cell_x)[None, :]
         offs = jnp.asarray([(dy, dx) for dy, dx in _OFFSETS], dtype=jnp.int32)
-        sy = jnp.clip(cy + offs[best_o, 0], 0, Kh - 1)
-        sx = jnp.clip(cx + offs[best_o, 1], 0, Kw - 1)
+        sy = cy + offs[best_o, 0]
+        sx = cx + offs[best_o, 1]
         seg = sy * Kw + sx
         return onehot, seg
 
