@@ -200,7 +200,14 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     pooled = jax.vmap(pool_one)(z, seg, valid)  # (B, K, 1024) f32
 
     sp_pred, sp_feats = _mlp_head(params, pooled + bias)
-    fg = jax.vmap(seg_ops.paint)(seg, sp_pred[..., 1])  # (B, H, W)
+
+    # paint via a one-hot matmul instead of a gather: TPU gathers of
+    # (H, W)-indexed tables profiled at 23 ms/step vs <1 ms for the matmul
+    def paint_one(seg_i, vals):
+        oh = seg_ops.one_hot_assignment(seg_i, K, None, dtype=compute_dtype)
+        return (oh @ vals.astype(compute_dtype)).reshape(H, W)
+
+    fg = jax.vmap(paint_one)(seg, sp_pred[..., 1]).astype(jnp.float32)
     return SuperpixelForward(sp_pred, sp_feats, fg)
 
 

@@ -201,17 +201,22 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
         stacked = jnp.concatenate(
             [_shift_grid(centers, dy, dx) for dy, dx in _OFFSETS], axis=-1)
         cmap = _cell_to_pixel(plan, stacked, 0, 0)  # (H, W, 9*5)
-        cmap = cmap.reshape(H, W, 9, 5)
-        diff = scaled_feat[:, :, None, :] - cmap * inv_step
-        d = jnp.sum(diff * diff, axis=-1) + invalid_bias  # (H, W, 9)
-        best_o = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        best_d = jnp.full((H, W), jnp.inf, dtype=jnp.float32)
+        best_o = jnp.zeros((H, W), dtype=jnp.int32)
+        for o in range(9):
+            diff = scaled_feat - cmap[..., o * 5:(o + 1) * 5] * inv_step
+            d = jnp.sum(diff * diff, axis=-1) + invalid_bias[..., o]
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_o = jnp.where(take, o, best_o)
         onehot = (best_o[..., None] ==
                   jnp.arange(9, dtype=jnp.int32)).astype(jnp.float32)
         cy = jnp.asarray(plan.cell_y)[:, None]
         cx = jnp.asarray(plan.cell_x)[None, :]
-        offs = jnp.asarray([(dy, dx) for dy, dx in _OFFSETS], dtype=jnp.int32)
-        sy = cy + offs[best_o, 0]
-        sx = cx + offs[best_o, 1]
+        # offset decode as arithmetic (a table gather here profiled at
+        # ~16 ms/step on v5e: TPU gathers are slow even from tiny tables)
+        sy = cy + best_o // 3 - 1
+        sx = cx + best_o % 3 - 1
         seg = sy * Kw + sx
         return onehot, seg
 
