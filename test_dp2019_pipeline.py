@@ -42,8 +42,12 @@ def split_patches(data_root, patch_size):
         ext_img[:height, :width] = img
         ext_mask[:height, :width] = mask
 
+        # reference iterates range(0, dim + 1, patch) which emits an empty
+        # patch when the padded dim is an exact multiple; guard it
         for x, y in product(range(0, width + 1, patch_size),
                             range(0, height + 1, patch_size)):
+            if x >= ext_width or y >= ext_height:
+                continue
             cv2.imwrite(str(target_img_dir / f"{index}-{x}-{y}.jpg"),
                         ext_img[y:y + patch_size, x:x + patch_size])
             cv2.imwrite(str(target_mask_dir / f"{index}-{x}-{y}.png"),
