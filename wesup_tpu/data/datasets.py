@@ -11,8 +11,8 @@ Differences by design (TPU-first):
 - samples are returned as numpy dicts; geometric/appearance augmentation
   happens ON DEVICE in the train step (wesup_tpu.ops.augment), so points are
   returned as raw coordinates, not rasterized masks;
-- CLAHE (albumentations CLAHE p=0.5, utils/data.py:124) is applied here on
-  the host via cv2 since it is histogram-based;
+- the full appearance chain including CLAHE runs on device
+  (wesup_tpu.ops.augment / ops.clahe), in the reference's transform order;
 - skimage.io/transform are replaced by cv2 (not available in this env).
 """
 
@@ -120,7 +120,6 @@ class SegmentationDataset:
         self.proportion = proportion
         self.n_classes = n_classes
         self.multiscale_range = multiscale_range
-        self.clahe_p = 0.5 if train else 0.0
 
         # proportion subsampling: seeded shuffle, slice, sort
         # (reference utils/data.py:84-89)
@@ -168,8 +167,6 @@ class SegmentationDataset:
         img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
         img, mask, _, _ = self._resize(img, mask)
-        if self.train and self._rng.random() < self.clahe_p:
-            img = apply_clahe_rgb(img)
         return {
             "image": img,
             "pixel_mask": mask,
@@ -234,8 +231,6 @@ class PointSupervisionDataset(SegmentationDataset):
         orig_hw = img.shape[:2]
         img, mask, target_hw, factor = self._resize(img, mask)
         points = self._read_points(idx, orig_hw, target_hw, factor)
-        if self.train and self._rng.random() < self.clahe_p:
-            img = apply_clahe_rgb(img)
         return {
             "image": img,
             "pixel_mask": mask,
@@ -259,8 +254,6 @@ class Digest2019PointDataset(PointSupervisionDataset):
         img = imread_rgb(self.img_paths[pidx])
         mask = self._load_mask(pidx)
         img, mask, _, _ = self._resize(img, mask)
-        if self.train and self._rng.random() < self.clahe_p:
-            img = apply_clahe_rgb(img)
         return {
             "image": img,
             "pixel_mask": mask,

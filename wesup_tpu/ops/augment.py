@@ -39,6 +39,7 @@ class AppearanceConfig(NamedTuple):
     # RandomBrightnessContrast limits
     brightness_limit: float = 0.3
     contrast_limit: float = 0.3
+    clahe_p: float = 0.5
     blur_p: float = 0.5
 
 
@@ -54,9 +55,10 @@ class PositionConfig(NamedTuple):
 def random_appearance(key: jax.Array, img: jnp.ndarray,
                       cfg: AppearanceConfig = AppearanceConfig()) -> jnp.ndarray:
     """Apply HSV shift + brightness/contrast + optional 3x3 blur to (H, W, 3)."""
+    from .clahe import clahe_rgb
     from .colorspace import hsv_to_rgb, rgb_to_hsv
 
-    k_h, k_s, k_v, k_b, k_c, k_blur = jax.random.split(key, 6)
+    k_h, k_s, k_v, k_b, k_c, k_clahe, k_blur = jax.random.split(key, 7)
 
     hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
     # cv2 uint8 hue spans 0..180 for the full circle
@@ -79,6 +81,12 @@ def random_appearance(key: jax.Array, img: jnp.ndarray,
     b = jax.random.uniform(k_b, (), minval=-cfg.brightness_limit,
                            maxval=cfg.brightness_limit)
     img = jnp.clip(img * (1.0 + c) + b, 0.0, 1.0)
+
+    # CLAHE with probability clahe_p (reference order: after
+    # brightness/contrast, before blur — utils/data.py:119-130)
+    if cfg.clahe_p > 0:
+        do_clahe = jax.random.bernoulli(k_clahe, cfg.clahe_p)
+        img = jnp.where(do_clahe, clahe_rgb(img), img)
 
     # 3x3 box blur with probability blur_p
     blurred = _box_blur3(img)
