@@ -69,7 +69,10 @@ class Predictor:
         return self._cache[hw]
 
     def predict_padded(self, images_f: np.ndarray) -> np.ndarray:
-        """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability."""
+        """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability.
+
+        Floats are fed straight through (no uint8 re-quantization; the
+        reference keeps float images after F.interpolate, infer.py:74)."""
         import jax.numpy as jnp
 
         B, h, w = images_f.shape[:3]
@@ -84,8 +87,7 @@ class Predictor:
         valid[:, :h, :w] = True
 
         step = self._step((H, W))
-        pred = step(self.params, jnp.asarray((canvas * 255).astype(np.uint8)),
-                    jnp.asarray(valid))
+        pred = step(self.params, jnp.asarray(canvas), jnp.asarray(valid))
         return np.asarray(pred)[:, :h, :w]
 
 

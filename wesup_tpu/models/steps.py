@@ -265,11 +265,19 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
 
+    # accepts uint8 (0..255, the dataset convention) or float (0..1, the
+    # inference CLIs' post-interpolation images; the reference keeps floats
+    # after F.interpolate, infer.py:74, so no re-quantization here)
+    def to_float(image):
+        if image.dtype == jnp.uint8:
+            return image.astype(jnp.float32) / 255.0
+        return image.astype(jnp.float32)
+
     if mode == "superpixel":
         K = n_clusters(H, W, config.sp_area)
 
-        def step(params, image_u8, valid):
-            img = image_u8.astype(jnp.float32) / 255.0
+        def step(params, image, valid):
+            img = to_float(image)
             seg = jax.vmap(lambda im, v: slic(
                 im, v, sp_area=config.sp_area,
                 compactness=config.sp_compactness,
@@ -278,9 +286,8 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
                                            compute_dtype)
             return out.pred
     elif mode == "pixel":
-        def step(params, image_u8, valid):
-            img = image_u8.astype(jnp.float32) / 255.0
-            probs = wesup.forward_pixel(params, img, compute_dtype)
+        def step(params, image, valid):
+            probs = wesup.forward_pixel(params, to_float(image), compute_dtype)
             return probs[..., 1]
     else:
         raise ValueError(f"unknown predict mode: {mode}")
