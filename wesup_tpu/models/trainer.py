@@ -32,6 +32,10 @@ class WESUPTrainer(BaseTrainer):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.config = merge_config(WESUPConfig(), **kwargs)
+        # reference merges config defaults into kwargs (models/wesup.py:430)
+        # so the record dir's params/<n>.json snapshots the full effective
+        # configuration, not just the CLI overrides
+        self.kwargs = {**self.config.to_dict(), **self.kwargs}
         self.mesh = make_mesh(self.config.num_devices,
                               kwargs.get("model_parallel", 1))
 
