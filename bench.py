@@ -201,9 +201,50 @@ def measure_tpu():
     return best
 
 
+def measure_train_step():
+    """Optional: full weak-label train-step throughput (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wesup_tpu.config import WESUPConfig
+    from wesup_tpu.models import steps as steps_mod
+    from wesup_tpu.models import wesup
+
+    H, W, B, P = 224, 320, 1, 256
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)),
+        "valid": jnp.ones((B, H, W), bool),
+        "pixel_mask": jnp.asarray(rng.integers(0, 2, (B, H, W)).astype(np.int32)),
+        "points": jnp.zeros((B, P, 3), jnp.int32),
+        "point_valid": jnp.zeros((B, P), bool),
+        "use_mask_as_points": jnp.zeros((B,), bool),
+        "sample_valid": jnp.ones((B,), bool),
+    }
+    cfg = WESUPConfig()
+    params = wesup.init_params(jax.random.PRNGKey(0))
+    tx = steps_mod.make_optimizer(cfg)
+    opt = tx.init(params)
+    step = steps_mod.make_train_step(cfg, (H, W), point_mode=True, tx=tx)
+    acc = steps_mod.init_metric_acc()
+    key = jax.random.PRNGKey(0)
+    p, o, a = step(params, opt, acc, batch, key)
+    jax.block_until_ready(a["count"])
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        p, o, a = step(p, o, a, batch, key)
+    jax.block_until_ready(a["count"])
+    dt = (time.time() - t0) / n
+    log(f"[tpu] train step (aug+SLIC+fwd+bwd+SGD, B=1 {H}x{W}): "
+        f"{dt * 1000:.1f} ms -> {1 / dt:.1f} img/s")
+
+
 def main():
     baseline = get_cpu_baseline()
     ours = measure_tpu()
+    if os.environ.get("WESUP_BENCH_TRAIN"):
+        measure_train_step()
     result = {
         "metric": "GlaS 0.5x superpixel inference (SLIC+VGG16+aggregation fused)",
         "value": round(ours, 2),
