@@ -182,7 +182,7 @@ def measure_tpu():
     step = make_predict_step(config, CANVAS, mode="superpixel")
 
     best = 0.0
-    for B in (1, 4, 8):
+    for B in (1, 8, 16):
         imgs, valid = make_images(B)
         imgs, valid = jnp.asarray(imgs), jnp.asarray(valid)
         t0 = time.time()

@@ -187,17 +187,53 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
         valid: (B, H, W) bool canvas validity
     """
     B, H, W = img.shape[:3]
-    z, bias = hypercolumn_projection_parts(params, img, compute_dtype)
-
-    def pool_one(z_i, seg_i, valid_i):
-        oh = seg_ops.one_hot_assignment(seg_i, K, valid_i, dtype=compute_dtype)
-        counts = oh.sum(axis=0)
-        pooled = seg_ops.segment_mean(z_i.reshape(-1, z_i.shape[-1]), oh, counts)
-        return pooled
-
     if valid is None:
         valid = jnp.ones((B, H, W), bool)
-    pooled = jax.vmap(pool_one)(z, seg, valid)  # (B, K, 1024) f32
+
+    taps = vgg.backbone_features(params["backbone"], img, compute_dtype)
+    w1_blocks = _fc1_blocks(params)
+
+    bias = params["fc1"]["b"].astype(jnp.float32)
+    for i in range(len(taps)):
+        side = params["side"][f"side{i}"]
+        bias = bias + (side["b"].astype(jnp.float32)
+                       @ w1_blocks[i].astype(jnp.float32))
+
+    def stage_proj(s):
+        idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
+        stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
+        proj = jnp.concatenate([
+            (params["side"][f"side{i}"]["w"].astype(jnp.float32)
+             @ w1_blocks[i].astype(jnp.float32)) for i in idxs
+        ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
+        return stage_taps, proj
+
+    # stages 2-5 need upsampling: project at native resolution, resize, sum
+    z_rest = None
+    for s in range(1, 5):
+        stage_taps, proj = stage_proj(s)
+        z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
+        z = resize_bilinear(z, (H, W), align_corners=True)
+        z_rest = z if z_rest is None else z_rest + z
+
+    # stage 1 sits at full resolution already: pooling commutes with its
+    # projection, so pool the 128-ch taps FIRST and project the (K, 128)
+    # result — the (B, H, W, 1024) stage-1 map never exists (saves ~2 GB of
+    # HBM writes per GlaS-0.5x B=8 step)
+    taps0, proj0 = stage_proj(0)
+
+    def pool_one(taps0_i, z_rest_i, seg_i, valid_i):
+        oh = seg_ops.one_hot_assignment(seg_i, K, valid_i, dtype=compute_dtype)
+        counts = oh.sum(axis=0)
+        sum0 = jnp.einsum("pk,pc->kc", oh, taps0_i.reshape(-1, taps0_i.shape[-1]),
+                          preferred_element_type=jnp.float32)
+        sum_rest = jnp.einsum("pk,pc->kc", oh,
+                              z_rest_i.reshape(-1, z_rest_i.shape[-1]),
+                              preferred_element_type=jnp.float32)
+        total = sum0.astype(compute_dtype) @ proj0 + sum_rest.astype(jnp.float32)
+        return total.astype(jnp.float32) / jnp.maximum(counts[:, None], 1.0)
+
+    pooled = jax.vmap(pool_one)(taps0, z_rest, seg, valid)  # (B, K, 1024)
 
     sp_pred, sp_feats = _mlp_head(params, pooled + bias)
 
