@@ -62,11 +62,19 @@ class Predictor:
         self.config = config
         self.mode = mode
         self._cache = {}
+        self._scaled_cache = {}
 
     def _step(self, hw):
         if hw not in self._cache:
             self._cache[hw] = steps.make_predict_step(self.config, hw, self.mode)
         return self._cache[hw]
+
+    def _scaled_step(self, content_hw, target_hw, canvas_hw):
+        key = (content_hw, target_hw, canvas_hw)
+        if key not in self._scaled_cache:
+            self._scaled_cache[key] = steps.make_scaled_predict_step(
+                self.config, content_hw, target_hw, canvas_hw, self.mode)
+        return self._scaled_cache[key]
 
     def predict_padded(self, images_f: np.ndarray) -> np.ndarray:
         """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability.
@@ -109,6 +117,8 @@ def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
     on GlaS, where images share a handful of sizes, this fills the chip.
     Output math is identical to the per-image path.
     """
+    import jax.numpy as jnp
+
     sp_mode = predictor.mode == "superpixel"
     results = [None] * len(imgs_u8)
 
@@ -119,31 +129,29 @@ def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
     for (H0, W0), idxs in groups.items():
         if input_size is not None:
             sizes = [tuple(input_size)]
-        else:
+        elif sp_mode:
+            # reference superpixel path ceils (infer.py:73)
             sizes = [(math.ceil(H0 * s), math.ceil(W0 * s)) for s in scales]
+        else:
+            # reference pixel path floors (pixel_infer.py:44-45)
+            sizes = [(int(H0 * s), int(W0 * s)) for s in scales]
 
+        # everything (per-scale resize, model, resize back) runs on device:
+        # originals are uploaded ONCE per chunk on a 32-aligned canvas
+        Hc, Wc = _round_up(H0), _round_up(W0)
         acc = [None] * len(idxs)
-        for (th, tw) in sizes:
-            for start in range(0, len(idxs), max_batch):
-                chunk = idxs[start:start + max_batch]
-                scaled = np.stack([
-                    host_resize_bilinear(
-                        imgs_u8[i].astype(np.float32) / 255.0, (th, tw),
-                        align_corners=not sp_mode)
-                    for i in chunk])
-                probs = predictor.predict_padded(scaled)
+        for start in range(0, len(idxs), max_batch):
+            chunk = idxs[start:start + max_batch]
+            canvas = np.zeros((len(chunk), Hc, Wc, 3), np.uint8)
+            for j, i in enumerate(chunk):
+                canvas[j, :H0, :W0] = imgs_u8[i]
+            canvas = jnp.asarray(canvas)
+            for (th, tw) in sizes:
+                step = predictor._scaled_step((H0, W0), (th, tw), (Hc, Wc))
+                out = np.asarray(step(predictor.params, canvas))
                 for j, i in enumerate(chunk):
                     pos = start + j
-                    if sp_mode:
-                        # reference rounds per scale then nearest-upsamples
-                        # (infer.py:24-33, models/wesup.py:533-537)
-                        up = host_resize_nearest(np.round(probs[j]), (H0, W0))
-                    else:
-                        # reference bilinear-upsamples probabilities
-                        # (pixel_infer.py:47-52)
-                        up = host_resize_bilinear(probs[j], (H0, W0),
-                                                  align_corners=True)
-                    acc[pos] = up if acc[pos] is None else acc[pos] + up
+                    acc[pos] = out[j] if acc[pos] is None else acc[pos] + out[j]
 
         for pos, i in enumerate(idxs):
             fused = acc[pos] / len(sizes)

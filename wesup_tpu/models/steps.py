@@ -295,6 +295,63 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
     return jax.jit(step)
 
 
+def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
+                             canvas_hw, mode: str) -> callable:
+    """One fused multi-scale-inference stage, fully on device.
+
+    Takes images at ORIGINAL resolution (placed on ``canvas_hw``), performs
+    the per-scale resize on device (the reference does this with
+    F.interpolate on host tensors, infer.py:74; a single-core host would
+    bottleneck the chip ~10x), runs the model at the scaled resolution, and
+    resizes the result BACK to the original resolution — superpixel mode
+    returns per-scale ROUNDED predictions nearest-upsampled (infer.py:24-33),
+    pixel mode returns probabilities bilinearly upsampled with
+    align_corners=True (pixel_infer.py:47-52).
+    """
+    from ..ops.resize import resize_bilinear, resize_nearest
+
+    Ho, Wo = int(content_hw[0]), int(content_hw[1])
+    th, tw = int(target_hw[0]), int(target_hw[1])
+    Hc, Wc = int(canvas_hw[0]), int(canvas_hw[1])
+    # scaled content padded up to a 32-aligned compute canvas
+    Hs = -(-th // 32) * 32
+    Ws = -(-tw // 32) * 32
+    compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    sp_mode = mode == "superpixel"
+    align = not sp_mode  # reference: bilinear default down, AC=True for pixel
+
+    def step(params, image, _valid_unused=None):
+        img = image[:, :Ho, :Wo].astype(jnp.float32)
+        if image.dtype == jnp.uint8:
+            img = img / 255.0
+        scaled = resize_bilinear(img, (th, tw), align_corners=align)
+        scaled = jnp.pad(scaled, ((0, 0), (0, Hs - th), (0, Ws - tw), (0, 0)),
+                         mode="edge")
+        B = scaled.shape[0]
+        valid = jnp.zeros((B, Hs, Ws), bool).at[:, :th, :tw].set(True)
+
+        if sp_mode:
+            K = n_clusters(Hs, Ws, config.sp_area)
+            seg = jax.vmap(lambda im, v: slic(
+                im, v, sp_area=config.sp_area,
+                compactness=config.sp_compactness,
+                n_iters=config.slic_iters))(scaled, valid)
+            out = wesup.forward_superpixel(params, scaled, seg, K, valid,
+                                           compute_dtype)
+            pred = jnp.round(out.pred[:, :th, :tw])
+            # rounded 0/1 predictions travel back through the tunnel as
+            # uint8 (4x less transfer than f32)
+            up = resize_nearest(pred[..., None], (Ho, Wo))[..., 0]
+            return up.astype(jnp.uint8)
+        probs = wesup.forward_pixel(params, scaled, compute_dtype)
+        prob = probs[:, :th, :tw, 1]
+        return resize_bilinear(prob[..., None], (Ho, Wo),
+                               align_corners=True)[..., 0]
+
+    return jax.jit(step)
+
+
 def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     """Validation/inference step: no augmentation, no gradients."""
     H, W = canvas_hw
