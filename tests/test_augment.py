@@ -86,3 +86,19 @@ def test_elastic_preserves_shapes():
     assert out_mask.shape == mask.shape
     # nearest-resampled mask stays binary
     assert set(np.unique(np.asarray(out_mask))).issubset({0.0, 1.0})
+
+
+def test_rgb2lab_matches_cv2():
+    """cv2 LAB (8-bit scaled) vs ours: L in [0,100] maps to cv2's [0,255]."""
+    import cv2
+
+    from wesup_tpu.ops.colorspace import rgb2lab
+
+    rng = np.random.default_rng(3)
+    rgb_u8 = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    ours = np.asarray(rgb2lab(jnp.asarray(rgb_u8.astype(np.float32) / 255.0)))
+    ref = cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2LAB).astype(np.float32)
+    np.testing.assert_allclose(ours[..., 0], ref[..., 0] * 100.0 / 255.0,
+                               atol=1.0)
+    np.testing.assert_allclose(ours[..., 1], ref[..., 1] - 128.0, atol=1.5)
+    np.testing.assert_allclose(ours[..., 2], ref[..., 2] - 128.0, atol=1.5)

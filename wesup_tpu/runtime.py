@@ -36,3 +36,22 @@ def configure(platform: str | None = None):
     enable_compilation_cache()
     if platform:
         force_platform(platform)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """Multi-host initialization (DCN) for pod-scale runs.
+
+    Single-host v5e-8 needs nothing (ICI collectives are implicit in the
+    mesh); for multi-host slices call this once per process before building
+    meshes.  Not exercisable in this environment (one chip), provided as the
+    documented entry point.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
