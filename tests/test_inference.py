@@ -125,3 +125,20 @@ def test_pixel_tile_cli_end_to_end(dataset, tmp_path):
     assert len(outs) == 2
     img = cv2.imread(str(outs[0]), cv2.IMREAD_GRAYSCALE)
     assert img.shape == (64, 80)
+
+
+def test_infer_cli_input_size(dataset, tmp_path):
+    """input_size mode (DP2019 uses input_size=(400,400), reference
+    infer.py:66-69): single fixed-size forward, no multi-scale fusion."""
+    import cv2
+
+    import infer as infer_cli
+
+    out_dir = tmp_path / "preds_is"
+    infer_cli.main(str(dataset / "val"), output_dir=str(out_dir),
+                   input_size=(48, 64), slic_iters=3, compute_dtype="float32")
+    outs = sorted(out_dir.glob("*.png"))
+    assert len(outs) == 2
+    img = cv2.imread(str(outs[0]), cv2.IMREAD_GRAYSCALE)
+    assert img.shape == (64, 80)
+    assert set(np.unique(img)).issubset({0, 255})
