@@ -153,6 +153,8 @@ class CanvasBatcher:
         self._epoch = 0
 
     def __len__(self):
+        """Batch count; in bucket mode a lower bound (per-bucket remainders
+        may add up to one extra batch per shape group)."""
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size

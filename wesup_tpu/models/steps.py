@@ -321,7 +321,7 @@ def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
     sp_mode = mode == "superpixel"
     align = not sp_mode  # reference: bilinear default down, AC=True for pixel
 
-    def step(params, image, _valid_unused=None):
+    def step(params, image):
         img = image[:, :Ho, :Wo].astype(jnp.float32)
         if image.dtype == jnp.uint8:
             img = img / 255.0
