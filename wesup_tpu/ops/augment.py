@@ -15,8 +15,8 @@ PRNG keys:
 - elastic: coarse random displacement field, bilinearly upsampled
   (SegmentationDataset path only, utils/data.py:125).
 
-CLAHE (p=0.5 in the reference) is applied host-side in the dataset layer via
-cv2 — see data/datasets.py.  Exact albumentations bit-parity is impossible
+CLAHE (p=0.5 in the reference) also runs on device (ops/clahe.py), in the
+reference's transform order.  Exact albumentations bit-parity is impossible
 without the library; parity target is statistical (final Dice within 0.5%,
 SURVEY.md §7 "Hard parts" item 5).
 """
@@ -150,23 +150,84 @@ def random_affine(key: jax.Array, hw,
 
 def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
          fill: float = 0.0) -> jnp.ndarray:
-    """Inverse-warp (H, W, C) or (H, W) by the forward affine A (xy coords)."""
+    """Inverse-warp (H, W, C) or (H, W) by the forward affine A (xy coords).
+
+    Gather-free: map_coordinates lowers to TPU gathers that profiled at half
+    the whole train step (9 of 18 ms).  Instead the affine is factored into
+    two axis-aligned 1-D resampling passes (x then y), each an iota-built
+    banded matrix product that rides the MXU.  Sub-pixel results differ from
+    direct bilinear by the usual two-pass shear decomposition — within the
+    augmentation stack's statistical-parity budget (tests assert point/image
+    consistency to ~1 px).  The factoring needs |m11| bounded away from
+    0 (guaranteed by the reference's +-45° rotation limit; a numeric guard covers
+    pathological configs).
+    """
     H, W = img.shape[:2]
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+
     Ainv = jnp.linalg.inv(A)
-    yy = jnp.arange(H, dtype=jnp.float32)
-    xx = jnp.arange(W, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
-    src_x = Ainv[0, 0] * gx + Ainv[0, 1] * gy + Ainv[0, 2]
-    src_y = Ainv[1, 0] * gx + Ainv[1, 1] * gy + Ainv[1, 2]
+    m00, m01, m02 = Ainv[0, 0], Ainv[0, 1], Ainv[0, 2]
+    m10, m11, m12 = Ainv[1, 0], Ainv[1, 1], Ainv[1, 2]
 
-    def sample_channel(ch):
-        return jax.scipy.ndimage.map_coordinates(
-            ch, [src_y, src_x], order=order, mode="constant", cval=fill)
+    # factor src = M dst + t into: pass1 (x within rows), pass2 (y within
+    # cols): src_y = m10 x + m11 y + m12 handled by pass2 with alpha=m11,
+    # beta(x) = m10 x + m12; pass1 then needs src_x expressed at the SOURCE
+    # row y': b = m01/m11, a = m00 - b m10, c = m02 - b m12
+    m11 = jnp.where(jnp.abs(m11) < 1e-3, jnp.where(m11 < 0, -1e-3, 1e-3), m11)
+    b = m01 / m11
+    a = m00 - b * m10
+    c = m02 - b * m12
 
-    if img.ndim == 2:
-        return sample_channel(img)
-    return jnp.stack([sample_channel(img[..., c])
-                      for c in range(img.shape[-1])], axis=-1)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+
+    # pass 1: tmp[y, x] = in[y, a*x + b*y + c]
+    pos1 = a * xs[None, :] + b * ys[:, None] + c          # (H, W)
+    tmp = _resample_x(x, pos1, order, fill)
+    # pass 2: out[y, x] = tmp[m11*y + m10*x + m12, x]
+    pos2 = m11 * ys[:, None] + m10 * xs[None, :] + m12    # (H, W)
+    out = _resample_y(tmp, pos2, order, fill)
+    return out[..., 0] if squeeze else out
+
+
+def _band_weights(pos: jnp.ndarray, size: int, order: int) -> jnp.ndarray:
+    """(..., size) interpolation weights for continuous positions ``pos``.
+
+    order=1: triangle (linear) kernel; order=0: nearest one-hot.  Positions
+    outside [0, size-1] get all-zero rows (constant fill handled by caller).
+    """
+    j = jnp.arange(size, dtype=jnp.float32)
+    d = pos[..., None] - j
+    if order == 0:
+        w = (jnp.abs(d) <= 0.5).astype(jnp.float32)
+        # ties at .5 resolve to the lower index (round-half-down like
+        # map_coordinates' round): keep first matching index only
+        w = w * (jnp.cumsum(w, axis=-1) == 1)
+    else:
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    inb = (pos >= 0) & (pos <= size - 1)
+    return w * inb[..., None]
+
+
+def _resample_x(img: jnp.ndarray, pos: jnp.ndarray, order: int,
+                fill: float) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, C) with out[y, x] = in[y, pos[y, x]] along x."""
+    W = img.shape[1]
+    S = _band_weights(pos, W, order)                     # (H, W_out, W_in)
+    out = jnp.einsum("hxj,hjc->hxc", S, img)
+    cov = S.sum(-1)                                      # 0 outside
+    return out + (1.0 - cov[..., None]) * fill
+
+
+def _resample_y(img: jnp.ndarray, pos: jnp.ndarray, order: int,
+                fill: float) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, C) with out[y, x] = in[pos[y, x], x] along y."""
+    H = img.shape[0]
+    S = _band_weights(pos, H, order)                     # (H_out, W, H_in)
+    out = jnp.einsum("ywj,jwc->ywc", S, img)
+    cov = S.sum(-1)
+    return out + (1.0 - cov[..., None]) * fill
 
 
 def transform_points(points_xy: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
