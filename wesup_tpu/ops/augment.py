@@ -240,19 +240,24 @@ def transform_points(points_xy: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
 
 def random_elastic(key: jax.Array, img: jnp.ndarray, mask: jnp.ndarray | None,
                    alpha: float = 34.0, grid: int = 8):
-    """Coarse-field elastic deformation (bilinear for img, nearest for mask)."""
+    """Coarse-field elastic deformation (bilinear for img, nearest for mask).
+
+    Gather-free like :func:`warp`: the displacement field is applied as two
+    axis-aligned 1-D resampling passes (the standard separable approximation
+    for smooth fields)."""
     H, W = img.shape[:2]
-    k1, k2 = jax.random.split(key)
+    k1, _ = jax.random.split(key)
     coarse = jax.random.normal(k1, (grid, grid, 2)) * alpha / max(H, W) * min(H, W)
     disp = resize_bilinear(coarse, (H, W), align_corners=False)
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None] + disp[..., 0]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :] + disp[..., 1]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    pos_x = jnp.clip(xs + disp[..., 1], 0.0, W - 1)
+    pos_y = jnp.clip(ys + disp[..., 0], 0.0, H - 1)
 
-    def sample(ch, order):
-        return jax.scipy.ndimage.map_coordinates(ch, [yy, xx], order=order,
-                                                 mode="nearest")
+    def apply(ch_img, order):
+        out = _resample_x(ch_img, pos_x, order, 0.0)
+        return _resample_y(out, pos_y, order, 0.0)
 
-    out_img = jnp.stack([sample(img[..., c], 1) for c in range(img.shape[-1])],
-                        axis=-1)
-    out_mask = None if mask is None else sample(mask, 0)
+    out_img = apply(img, 1)
+    out_mask = None if mask is None else apply(mask[..., None], 0)[..., 0]
     return out_img, out_mask
