@@ -132,8 +132,11 @@ def hypercolumn_projection_parts(params: dict, img: jnp.ndarray,
         bias = bias + (side["b"].astype(jnp.float32)
                        @ w1_blocks[i].astype(jnp.float32))
 
-    # group taps by resolution stage; one concat + one matmul per stage
-    out = None
+    # group taps by resolution stage; one concat + one matmul per stage,
+    # W-resize at native height, then ONE fused H-upsample+sum contraction
+    from ..ops.resize import fused_upsample_sum, resize_w_only
+
+    stage_maps = []
     for s in range(5):
         idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
         stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
@@ -142,9 +145,8 @@ def hypercolumn_projection_parts(params: dict, img: jnp.ndarray,
              @ w1_blocks[i].astype(jnp.float32)) for i in idxs
         ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
         z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
-        z = resize_bilinear(z, (H, W), align_corners=True)
-        out = z if out is None else out + z
-    return out, bias
+        stage_maps.append(resize_w_only(z, W, align_corners=True))
+    return fused_upsample_sum(stage_maps, H, align_corners=True), bias
 
 
 def hypercolumn_projection(params: dict, img: jnp.ndarray,
@@ -208,13 +210,16 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
         ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
         return stage_taps, proj
 
-    # stages 2-5 need upsampling: project at native resolution, resize, sum
-    z_rest = None
+    # stages 2-5 need upsampling: project at native resolution, W-resize,
+    # then ONE fused H-upsample+sum contraction (exact)
+    from ..ops.resize import fused_upsample_sum, resize_w_only
+
+    stage_maps = []
     for s in range(1, 5):
         stage_taps, proj = stage_proj(s)
         z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
-        z = resize_bilinear(z, (H, W), align_corners=True)
-        z_rest = z if z_rest is None else z_rest + z
+        stage_maps.append(resize_w_only(z, W, align_corners=True))
+    z_rest = fused_upsample_sum(stage_maps, H, align_corners=True)
 
     # stage 1 sits at full resolution already: pooling commutes with its
     # projection, so pool the 128-ch taps FIRST and project the (K, 128)

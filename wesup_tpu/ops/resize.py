@@ -92,6 +92,35 @@ def resize_bilinear(img: jnp.ndarray, out_hw, align_corners: bool = True,
     raise ValueError(f"unsupported rank {x.ndim}")
 
 
+def resize_w_only(img: jnp.ndarray, out_w: int,
+                  align_corners: bool = True) -> jnp.ndarray:
+    """Resize only the W axis of (B, H, W, C) (the cheap first pass)."""
+    W = img.shape[-2]
+    if W == int(out_w):
+        return img
+    A_w = jnp.asarray(_interp_matrix(W, int(out_w), align_corners),
+                      dtype=img.dtype)
+    return jnp.einsum("pw,bhwc->bhpc", A_w, img)
+
+
+def fused_upsample_sum(stage_maps, out_h: int,
+                       align_corners: bool = True) -> jnp.ndarray:
+    """Sum of H-upsampled maps as ONE contraction.
+
+    Given W-resized maps [(B, Hs_i, W, C)], computes
+    sum_i resize_H(map_i, out_h) with a single einsum against the
+    column-concatenated interpolation matrices — exact, and it writes ONE
+    full-resolution output instead of one per stage plus a sum pass
+    (profiled: the separate H-passes + sum were ~16 ms/step of pure HBM).
+    """
+    dt = stage_maps[0].dtype
+    A_cat = np.concatenate(
+        [_interp_matrix(int(m.shape[1]), int(out_h), align_corners)
+         for m in stage_maps], axis=1)
+    cat = jnp.concatenate(stage_maps, axis=1)
+    return jnp.einsum("oh,bhpc->bopc", jnp.asarray(A_cat, dtype=dt), cat)
+
+
 def resize_nearest(img: jnp.ndarray, out_hw) -> jnp.ndarray:
     """Nearest resize of (..., H, W, C) matching torch semantics."""
     H, W = img.shape[-3], img.shape[-2]
