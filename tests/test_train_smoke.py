@@ -57,3 +57,16 @@ def test_fit_smoke(dataset, tmp_path, monkeypatch):
     trainer2.train(dataset, epochs=1, checkpoint=str(ckpts[0]))
     ckpts2 = list((record_dir / "checkpoints").glob("ckpt.*"))
     assert ckpts2 and ckpts2[0].name == "ckpt.0003.msgpack"
+
+
+def test_fit_smoke_flag_deletes_record_dir(dataset, tmp_path, monkeypatch):
+    """train.py's smoke=True removes the record dir afterwards
+    (reference train.py:23-28)."""
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "smoke_records"))
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from train import fit
+
+    fit(str(dataset), epochs=1, smoke=True, canvas_size=(48, 64),
+        slic_iters=2, compute_dtype="float32", sp_area=100)
+    leftover = list((tmp_path / "smoke_records").glob("*"))
+    assert leftover == [], leftover
