@@ -91,6 +91,36 @@ def test_propagation_masked_equals_reordered():
     assert got[labeled].sum() == 0
 
 
+def test_wesup_loss_unweighted_matches_reference_wiring():
+    """The reference trainer binds its CE with NO class weights
+    (models/wesup.py:434 — the (3, 1) config field is dead code there).
+    Our default (class_weights=None) must reproduce that composition."""
+    rng = np.random.default_rng(11)
+    K, C, Df = 12, 2, 4
+    pred = rng.dirichlet([1, 1], size=K).astype(np.float32)
+    feats = rng.standard_normal((K, Df)).astype(np.float32) * 0.3
+    labeled = np.zeros(K, bool)
+    labeled[:4] = True
+    labels = np.zeros((K, C), np.float32)
+    labels[np.arange(4), rng.integers(0, C, 4)] = 1
+    real = np.ones(K, bool)
+
+    out = wesup_loss(jnp.asarray(pred), jnp.asarray(feats),
+                     jnp.asarray(labels), jnp.asarray(labeled),
+                     jnp.asarray(real),
+                     propagate_threshold=0.6, propagate_weight=0.5)
+
+    order = np.concatenate([np.where(labeled)[0], np.where(~labeled)[0]])
+    pred_t = torch.from_numpy(pred[order])
+    y_l = torch.from_numpy(labels[labeled])
+    ce = _torch_semi_ce(pred_t[:4], y_l, None)
+    y_u = _torch_propagate(torch.from_numpy(feats[order]), y_l, 0.6)
+    pce = _torch_semi_ce(pred_t[4:], y_u, None)
+    want = float(ce + 0.5 * pce)
+
+    assert abs(float(out.loss) - want) < 5e-5
+
+
 def test_wesup_loss_matches_reference_composition():
     rng = np.random.default_rng(7)
     K, C, Df = 12, 2, 4

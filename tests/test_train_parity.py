@@ -4,6 +4,16 @@ Strongest training-correctness evidence: with identical weights, superpixel
 assignments, labels and SGD hyperparameters, the per-step loss sequence of
 our jitted train path must track a torch reimplementation of the reference
 (forward + semi-CE + propagation + SGD(momentum, wd)) step for step.
+
+Two configurations are covered:
+  * class_weights=None — the reference's REAL wiring (it binds
+    partial(_cross_entropy) weight-free, reference models/wesup.py:434).
+  * class_weights=(3, 1) — the opt-in weighted path
+    (``apply_class_weights=True``).
+Propagation must fire BOTH ways over the trajectory (some candidates
+receive pseudo-labels, some stay below threshold) so the threshold branch
+is actually exercised, and a second test runs at a realistic canvas
+(96x128, K~=60) with bfloat16 compute against the float32 torch replica.
 """
 
 import sys
@@ -13,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 
 sys.path.insert(0, str(Path(__file__).parent))
@@ -25,21 +36,41 @@ from wesup_tpu.models.objectives import wesup_loss  # noqa: E402
 from wesup_tpu.ops.segments import one_hot_assignment, superpixel_stats  # noqa: E402
 
 
-def test_sgd_trajectory_matches_torch():
-    rng = np.random.default_rng(0)
-    H, W, K, C = 32, 32, 8, 2
+def _split_threshold(img, seg, sup, K):
+    """Pick a propagation threshold that splits the candidates at init: with
+    He-init features all pairwise similarities cluster near 1.0, so a fixed
+    literature-style threshold (0.8/0.95) either always or never fires.  The
+    median of the candidates' max-similarity guarantees the threshold branch
+    is exercised BOTH ways on the first step."""
+    params = wesup.init_params(jax.random.PRNGKey(1))
+    out = wesup.forward_superpixel(params, jnp.asarray(img),
+                                   jnp.asarray(seg), K)
+    stats = superpixel_stats(jnp.asarray(seg[0]), K, jnp.asarray(sup))
+    f = np.asarray(out.sp_features[0], np.float64)
+    lab = np.asarray(stats.labeled)
+    d2 = ((f[:, None] - f[None, :]) ** 2).sum(-1)
+    max_sim = np.exp(-d2)[:, lab].max(1)[~lab]
+    return float(np.median(max_sim))
+
+
+def _make_problem(rng, H, W, K, n_labeled, C=2):
     img = rng.random((1, H, W, 3)).astype(np.float32)
     seg = rng.integers(0, K, (1, H, W)).astype(np.int32)
-
-    # sparse supervision: 3 labeled superpixels
     sup = np.zeros((H, W, C), np.float32)
-    labeled_sps = [0, 3, 5]
-    for k in labeled_sps:
+    for i, k in enumerate(rng.choice(K, n_labeled, replace=False)):
         ys, xs = np.where(seg[0] == k)
-        sup[ys[0], xs[0], k % 2] = 1.0
+        sup[ys[0], xs[0], i % C] = 1.0
+    return img, seg, sup
 
+
+def _run_trajectories(img, seg, sup, K, *, n_steps, class_weights, thr, pw,
+                      lr=1e-3, momentum=0.9, wd=1e-3,
+                      compute_dtype=jnp.float32):
+    """Run our jitted SGD trajectory and the torch replica side by side.
+
+    Returns (ours_losses, torch_losses, ours_n_prop_per_step).
+    """
     params = wesup.init_params(jax.random.PRNGKey(1))
-    lr, momentum, wd, thr, pw = 1e-3, 0.9, 1e-3, 0.5, 0.5
 
     # ---- our side -------------------------------------------------------
     tx = optax.chain(optax.add_decayed_weights(wd), optax.trace(momentum),
@@ -51,22 +82,25 @@ def test_sgd_trajectory_matches_torch():
     def step(params, opt):
         def lf(p):
             out = wesup.forward_superpixel(p, jnp.asarray(img),
-                                           jnp.asarray(seg), K)
+                                           jnp.asarray(seg), K,
+                                           compute_dtype=compute_dtype)
             l = wesup_loss(out.sp_pred[0], out.sp_features[0], stats.labels,
-                           stats.labeled, stats.real, class_weights=(3, 1),
+                           stats.labeled, stats.real,
+                           class_weights=class_weights,
                            propagate_threshold=thr, propagate_weight=pw)
-            return l.loss
-        loss, g = jax.value_and_grad(lf)(params)
+            return l.loss, l.propagated_labels
+        (loss, n_prop), g = jax.value_and_grad(lf, has_aux=True)(params)
         upd, opt = tx.update(g, opt, params)
-        return optax.apply_updates(params, upd), opt, loss
+        return optax.apply_updates(params, upd), opt, loss, n_prop
 
-    ours_losses = []
+    ours_losses, ours_prop = [], []
     p = params
-    for _ in range(4):
-        p, opt, loss = step(p, opt)
+    for _ in range(n_steps):
+        p, opt, loss, n_prop = step(p, opt)
         ours_losses.append(float(loss))
+        ours_prop.append(float(n_prop))
 
-    # ---- torch side -----------------------------------------------------
+    # ---- torch side (reference reorder-and-slice semantics) -------------
     tmodel = _TorchWESUP()
     _copy_weights_to_torch(params, tmodel)
     opt_t = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum,
@@ -82,21 +116,58 @@ def test_sgd_trajectory_matches_torch():
     y_l = torch.from_numpy(np.asarray(stats.labels)[labeled])
 
     torch_losses = []
-    for _ in range(4):
+    for _ in range(n_steps):
         opt_t.zero_grad()
         sp_pred, sp_feats = tmodel(xt, sp_maps)
         pred_ord = sp_pred[order]
         feats_ord = sp_feats[order]
         n_l = len(y_l)
-        ce = _torch_semi_ce(pred_ord[:n_l], y_l, (3, 1))
+        ce = _torch_semi_ce(pred_ord[:n_l], y_l, class_weights)
         y_u = _torch_propagate(feats_ord.detach(), y_l, thr)
-        pce = _torch_semi_ce(pred_ord[n_l:], y_u, (3, 1))
+        pce = _torch_semi_ce(pred_ord[n_l:], y_u, class_weights)
         loss = ce + pw * pce
         loss.backward()
         opt_t.step()
         torch_losses.append(float(loss))
 
-    np.testing.assert_allclose(ours_losses, torch_losses, rtol=2e-3,
-                               atol=2e-4)
-    # and training actually moves
-    assert ours_losses[-1] != ours_losses[0]
+    return ours_losses, torch_losses, ours_prop
+
+
+@pytest.mark.parametrize("class_weights", [None, (3, 1)],
+                         ids=["unweighted-reference-wiring", "weighted-optin"])
+def test_sgd_trajectory_matches_torch(class_weights):
+    rng = np.random.default_rng(0)
+    H, W, K = 32, 32, 8
+    img, seg, sup = _make_problem(rng, H, W, K, n_labeled=3)
+    thr = _split_threshold(img, seg, sup, K)
+
+    ours, want, n_prop = _run_trajectories(
+        img, seg, sup, K, n_steps=20, class_weights=class_weights,
+        thr=thr, pw=0.5)
+
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-4)
+    # training actually moves
+    assert ours[-1] != ours[0]
+    # the propagation threshold is exercised BOTH ways at init (thr is the
+    # median candidate similarity): some of the 5 candidates receive a
+    # pseudo-label, some stay below threshold
+    assert 0 < n_prop[0] < 5, f"threshold not split at init: {n_prop[0]}"
+    assert max(n_prop) > 0
+
+
+def test_sgd_trajectory_realistic_size_bf16():
+    """96x128 canvas, K~=60 (sp_area=200 scale), bfloat16 compute vs the
+    float32 torch replica — catches bf16 accumulation drift at production
+    compute dtype and realistic superpixel counts."""
+    rng = np.random.default_rng(3)
+    H, W, K = 96, 128, 60
+    img, seg, sup = _make_problem(rng, H, W, K, n_labeled=12)
+
+    ours, want, n_prop = _run_trajectories(
+        img, seg, sup, K, n_steps=6, class_weights=None, thr=0.5, pw=0.5,
+        compute_dtype=jnp.bfloat16)
+
+    # bf16 matmuls vs f32 torch: loose per-step tolerance, but the
+    # trajectory must track (no compounding divergence)
+    np.testing.assert_allclose(ours, want, rtol=5e-2, atol=5e-3)
+    assert ours[-1] != ours[0]

@@ -55,7 +55,16 @@ class WESUPConfig(BaseConfig):
     n_classes: int = 2
 
     # Class weights for cross-entropy loss function.
+    # Reference parity note: the reference DEFINES this field (models/
+    # wesup.py:155) but never applies it — its trainer binds
+    # ``partial(_cross_entropy)`` with no weights (models/wesup.py:434), so
+    # (3, 1) is dead config there.  The field is kept for config-surface
+    # parity and only takes effect when ``apply_class_weights=True``.
     class_weights: Tuple[float, ...] = (3, 1)
+
+    # Opt-in: actually apply ``class_weights`` to both CE terms.  False by
+    # default so training dynamics match the reference's real wiring.
+    apply_class_weights: bool = False
 
     # Superpixel parameters.
     sp_area: int = 200

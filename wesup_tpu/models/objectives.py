@@ -90,7 +90,7 @@ class WESUPLoss(NamedTuple):
 
 def wesup_loss(sp_pred: jnp.ndarray, sp_features: jnp.ndarray,
                sp_labels: jnp.ndarray, labeled: jnp.ndarray,
-               real: jnp.ndarray, *, class_weights=(3.0, 1.0),
+               real: jnp.ndarray, *, class_weights=None,
                enable_propagation: bool = True,
                propagate_threshold: float = 0.8,
                propagate_weight: float = 0.5,
@@ -99,6 +99,10 @@ def wesup_loss(sp_pred: jnp.ndarray, sp_features: jnp.ndarray,
 
     loss = CE(labeled sps) + propagate_weight * CE(propagated unlabeled sps)
     (reference WESUPTrainer.compute_loss, models/wesup.py:492-531).
+
+    ``class_weights`` defaults to None because the reference's trainer binds
+    its CE weight-free (models/wesup.py:434) — its ``class_weights=(3, 1)``
+    config is dead code.  Pass weights explicitly to opt in.
     """
     ce = semi_cross_entropy(sp_pred, sp_labels, class_weights, epsilon)
 

@@ -32,6 +32,10 @@ from .objectives import wesup_loss
 # ---------------------------------------------------------------------------
 
 def make_optimizer(config: WESUPConfig):
+    # Divergence (documented in README): the reference's freeze_backbone
+    # KWARG is dead — its trainer reads the class default, which is False
+    # (models/wesup.py:427-429), so passing freeze_backbone=True there does
+    # nothing.  Here the flag is functional: backbone updates are zeroed.
     tx = optax.chain(
         optax.add_decayed_weights(config.weight_decay),
         optax.trace(decay=config.momentum),
@@ -161,7 +165,10 @@ def _forward_and_loss(params, prep: Preprocessed, K, config: WESUPConfig,
         stats = superpixel_stats(seg_i, K, sup_i, valid_i)
         return wesup_loss(
             sp_pred, sp_feats, stats.labels, stats.labeled, stats.real,
-            class_weights=config.class_weights,
+            # reference never applies its class_weights config (its trainer
+            # binds partial(_cross_entropy) weight-free, models/wesup.py:434)
+            class_weights=(config.class_weights
+                           if config.apply_class_weights else None),
             enable_propagation=config.enable_propagation,
             propagate_threshold=config.propagate_threshold,
             propagate_weight=config.propagate_weight,
