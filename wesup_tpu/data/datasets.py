@@ -89,6 +89,33 @@ def apply_clahe_rgb(img: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
 
 
+def mask_contour(mask: np.ndarray, n_classes: int) -> np.ndarray:
+    """Class-boundary contours (reference utils/data.py:138-151).
+
+    Reference math: ``dilation(find_boundaries(mask))`` — thick boundaries
+    (a pixel differing from any 4-neighbor is marked on BOTH sides), dilated
+    by the 3x3 cross — then one-hot ``cont == i`` per class.  Note the
+    reference one-hots the BOOLEAN boundary image, so channel 0 is the
+    complement, channel 1 the boundary, and channels >= 2 are always empty;
+    quirk kept.  skimage is unavailable here, so both steps are vectorized
+    shifts.  Returns (H, W, C) int32 (the reference returns CHW long).
+    """
+    m = np.asarray(mask)
+    b = np.zeros(m.shape, bool)
+    b[:-1] |= m[:-1] != m[1:]
+    b[1:] |= m[1:] != m[:-1]
+    b[:, :-1] |= m[:, :-1] != m[:, 1:]
+    b[:, 1:] |= m[:, 1:] != m[:, :-1]
+    d = b.copy()
+    d[:-1] |= b[1:]
+    d[1:] |= b[:-1]
+    d[:, :-1] |= b[:, 1:]
+    d[:, 1:] |= b[:, :-1]
+    cont = d.astype(np.int64)
+    return np.stack([cont == i for i in range(n_classes)],
+                    axis=-1).astype(np.int32)
+
+
 class SegmentationDataset:
     """Images + optional pixel masks (reference utils/data.py:33-185).
 
@@ -97,6 +124,8 @@ class SegmentationDataset:
         pixel_mask: (H, W) int32 class indices, or None
         points: (P, 3) int32 (x, y, class) or None
         use_mask_as_points: bool (DigestPath negative-image convention)
+        contour: (H, W, C) int32 boundary one-hot, only when ``contour=True``
+            (reference utils/data.py:39, :138-151)
     """
 
     def __init__(self, root_dir, mode=None, contour=False, target_size=None,
@@ -167,12 +196,18 @@ class SegmentationDataset:
         img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
         img, mask, _, _ = self._resize(img, mask)
-        return {
+        sample = {
             "image": img,
             "pixel_mask": mask,
             "points": None,
             "use_mask_as_points": False,
         }
+        if self.contour:
+            # reference computes contours whenever contour=True and a mask
+            # exists (utils/data.py:138-151; with no mask it crashes on an
+            # unbound local — here the constructor already rejected that)
+            sample["contour"] = mask_contour(mask, self.n_classes)
+        return sample
 
     def summary(self, logger=None):
         lines = [
