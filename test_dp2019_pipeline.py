@@ -17,51 +17,47 @@ from joblib import Parallel, delayed
 
 
 def split_patches(data_root, patch_size):
-    img_dir = data_root / "images"
-    mask_dir = data_root / "masks"
-    img_paths = sorted(list(img_dir.glob("*.jpg")) + list(img_dir.glob("*.png")))
-    mask_paths = sorted(mask_dir.glob("*.png"))
+    """Tile whole slides into a zero-padded patch grid.
 
+    Pinned protocol (what the combining/eval stages and the reference expect):
+    patches are named ``{slide_index}-{x}-{y}`` with top-left pixel origin,
+    images saved as .jpg and masks as .png, and ``info.csv`` rows are
+    ``(stem, original_height, original_width)``.  The reference additionally
+    emits a degenerate empty patch whenever a dimension is an exact multiple
+    of ``patch_size`` (its ranges run to ``dim + 1``); that is a bug, not
+    protocol, and is not reproduced.
+    """
     output_dir = data_root.parent / f"{data_root.name}-patches"
     if output_dir.exists():
         print(f"{output_dir} found. Skipping.")
         return output_dir
+    for sub in ("images", "masks"):
+        (output_dir / sub).mkdir(parents=True, exist_ok=True)
 
-    output_dir.mkdir(exist_ok=True)
-    target_img_dir = output_dir / "images"
-    target_mask_dir = output_dir / "masks"
-    target_img_dir.mkdir(exist_ok=True)
-    target_mask_dir.mkdir(exist_ok=True)
+    img_paths = sorted(list((data_root / "images").glob("*.jpg"))
+                       + list((data_root / "images").glob("*.png")))
+    mask_paths = sorted((data_root / "masks").glob("*.png"))
 
-    def split(img, mask, index):
-        height, width, channels = img.shape
-        ext_height = math.ceil(height / patch_size) * patch_size
-        ext_width = math.ceil(width / patch_size) * patch_size
-        ext_img = np.zeros((ext_height, ext_width, channels), dtype=img.dtype)
-        ext_mask = np.zeros((ext_height, ext_width), dtype=mask.dtype)
-        ext_img[:height, :width] = img
-        ext_mask[:height, :width] = mask
-
-        # reference iterates range(0, dim + 1, patch) which emits an empty
-        # patch when the padded dim is an exact multiple; guard it
-        for x, y in product(range(0, width + 1, patch_size),
-                            range(0, height + 1, patch_size)):
-            if x >= ext_width or y >= ext_height:
-                continue
-            cv2.imwrite(str(target_img_dir / f"{index}-{x}-{y}.jpg"),
-                        ext_img[y:y + patch_size, x:x + patch_size])
-            cv2.imwrite(str(target_mask_dir / f"{index}-{x}-{y}.png"),
-                        ext_mask[y:y + patch_size, x:x + patch_size])
-        return height, width
-
-    info = []
+    rows = []
     for index, (img_path, mask_path) in enumerate(zip(img_paths, mask_paths)):
         img = cv2.imread(str(img_path))
         mask = cv2.imread(str(mask_path), cv2.IMREAD_GRAYSCALE)
-        info.append((img_path.stem, *split(img, mask, index)))
+        h, w = mask.shape
+        img = np.pad(img, ((0, -h % patch_size), (0, -w % patch_size),
+                           (0, 0)))
+        mask = np.pad(mask, ((0, -h % patch_size), (0, -w % patch_size)))
+        for gy, gx in product(range(img.shape[0] // patch_size),
+                              range(img.shape[1] // patch_size)):
+            y, x = gy * patch_size, gx * patch_size
+            cell = (slice(y, y + patch_size), slice(x, x + patch_size))
+            cv2.imwrite(str(output_dir / "images" / f"{index}-{x}-{y}.jpg"),
+                        img[cell])
+            cv2.imwrite(str(output_dir / "masks" / f"{index}-{x}-{y}.png"),
+                        mask[cell])
+        rows.append((img_path.stem, h, w))
 
     with open(output_dir / "info.csv", "w") as fp:
-        csv.writer(fp).writerows(info)
+        csv.writer(fp).writerows(rows)
     return output_dir
 
 

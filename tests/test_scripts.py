@@ -89,3 +89,40 @@ def test_paint_masks_roundtrip(dataset, tmp_path):
     pred_img, gt_img = paint_masks.paint_pred_and_gt(mask, mask)
     # perfect prediction inherits GT colors exactly
     np.testing.assert_array_equal(pred_img, gt_img)
+
+
+def test_paint_match_rule_vs_naive():
+    """Vectorized overlap matching == the reference's per-pair loop rule:
+    inherit the largest GT id whose area is covered > 0.5, else max_id+own."""
+    import paint_masks
+
+    rng = np.random.default_rng(5)
+    gt = np.zeros((48, 48), np.uint8)
+    gt[2:14, 2:20] = 255    # large object
+    gt[20:30, 5:12] = 255   # small object
+    gt[34:46, 20:44] = 255  # wide object
+    pred = np.zeros_like(gt)
+    pred[2:14, 2:16] = 255    # covers most of object 1
+    pred[22:28, 6:10] = 255   # covers <0.5 of object 2? (36/70 px ~ 0.51)
+    pred[40:46, 38:47] = 255  # covers <0.5 of object 3 -> unmatched
+    noise = rng.random(gt.shape) < 0.01
+    pred[noise] = 255
+
+    from _common import label8
+    pl, gl = label8(pred), label8(gt)
+    got = paint_masks.match_pred_to_gt(pl, gl)
+
+    # naive spec
+    want = np.zeros_like(pl)
+    max_id = max(pl.max(), gl.max())
+    for pid in range(1, pl.max() + 1):
+        pr = pl == pid
+        matched = []
+        for gid in range(1, gl.max() + 1):
+            gr = gl == gid
+            if (pr & gr).sum() / gr.sum() > 0.5:
+                matched.append((gr.sum(), gid))
+        # first-max tie-break, as in the reference's max(key=area)
+        want[pr] = (max(matched, key=lambda t: t[0])[1] if matched
+                    else max_id + pid)
+    np.testing.assert_array_equal(got, want)
