@@ -39,8 +39,11 @@ def sample_points(rng, mask, per_class=3):
 
 def make_dataset(root, n_train=4, n_val=2, hw=(96, 128), seed=0,
                  with_points=True):
+    """``hw`` may be one (H, W) or a list of sizes cycled over the images
+    (for multi-size/bucketed-loader tests)."""
     root = Path(root)
     rng = np.random.default_rng(seed)
+    sizes = list(hw) if isinstance(hw[0], (tuple, list)) else [hw]
     for split, n in [("train", n_train), ("val", n_val)]:
         img_dir = root / split / "images"
         mask_dir = root / split / "masks"
@@ -51,7 +54,7 @@ def make_dataset(root, n_train=4, n_val=2, hw=(96, 128), seed=0,
             point_dir = root / split / "points"
             point_dir.mkdir(parents=True, exist_ok=True)
         for i in range(n):
-            img, mask = make_image(rng, *hw)
+            img, mask = make_image(rng, *sizes[i % len(sizes)])
             name = f"{split}_{i:02d}"
             cv2.imwrite(str(img_dir / f"{name}.png"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

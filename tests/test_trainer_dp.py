@@ -39,3 +39,50 @@ def test_trainer_dp_over_8_devices(dataset, tmp_path, monkeypatch):
     # params remain fully replicated across the mesh
     leaf = jax.tree.leaves(trainer.params)[0]
     assert len(leaf.sharding.device_set) in (1, 8)
+
+
+def _train_history(root, record_root, num_devices):
+    import pandas as pd
+
+    from wesup_tpu.models import initialize_trainer
+
+    trainer = initialize_trainer(
+        "wesup", epochs=2, batch_size=2, slic_iters=2, sp_area=64,
+        compute_dtype="float32", num_devices=num_devices)
+    trainer.train(root, epochs=2, smoke=False)
+    return pd.read_csv(trainer.record_dir / "history.csv"), trainer
+
+
+def test_bucketed_multisize_dp_matches_single_device(tmp_path, monkeypatch,
+                                                     tmp_path_factory):
+    """DP default story: a bucketed multi-size dataset (no canvas_size ->
+    bucket mode) trains SHARDED over the 8-device mesh — batch_size=2 is not
+    divisible by 8 shards, so the loader pads with blanks — and the history
+    matches the single-device run (same samples, same rng, blanks weightless)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    root = tmp_path_factory.mktemp("dp_ms")
+    make_dataset(root, n_train=6, n_val=2,
+                 hw=[(40, 56), (56, 72), (48, 64)])
+
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "rec1"))
+    hist1, _ = _train_history(root, tmp_path / "rec1", num_devices=1)
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "rec8"))
+    hist8, trainer8 = _train_history(root, tmp_path / "rec8", num_devices=8)
+
+    assert trainer8.mesh.shape["data"] == 8
+    # batches really shard: every emitted batch dim is a multiple of 8
+    loader = trainer8.dataloaders["train"]
+    assert loader.effective_batch_size == 8
+    batch = next(iter(loader))
+    assert batch["image"].shape[0] == 8
+    assert batch["sample_valid"].sum() == 2  # 2 real + 6 blanks
+
+    assert list(hist1.columns) == list(hist8.columns)
+    np.testing.assert_allclose(hist1.to_numpy(np.float64),
+                               hist8.to_numpy(np.float64),
+                               rtol=1e-4, atol=1e-6)
+    # bucket-mode __len__ reports the actual previous-epoch batch count
+    assert len(loader) >= 3

@@ -135,13 +135,17 @@ class CanvasBatcher:
       ~25% of compute at multiscale (0.3, 0.4) — buckets cut that to <10%
       for a handful of extra compilations.
 
-    The last batch of each shape group is padded with blank items
-    (``sample_valid=False``) so shapes stay static.
+    Batches are padded with blank items (``sample_valid=False``) so shapes
+    stay static: the last batch of each shape group up to ``batch_size``,
+    and EVERY batch up to a multiple of ``shard_multiple`` — set it to the
+    mesh's data-shard count and any batch size shards cleanly over the mesh
+    (blanks contribute nothing to loss or metrics).
     """
 
     def __init__(self, dataset, spec: CanvasSpec, batch_size: int = 1,
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = False, bucket: bool = False):
+                 drop_last: bool = False, bucket: bool = False,
+                 shard_multiple: int = 1):
         self.dataset = dataset
         self.spec = spec
         self.batch_size = batch_size
@@ -150,11 +154,22 @@ class CanvasBatcher:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.bucket = bucket
+        self.shard_multiple = max(1, int(shard_multiple))
         self._epoch = 0
+        self._last_len = None
+
+    @property
+    def effective_batch_size(self) -> int:
+        """Emitted batch dim: batch_size rounded up to the shard multiple."""
+        return _round_up(self.batch_size, self.shard_multiple)
 
     def __len__(self):
-        """Batch count; in bucket mode a lower bound (per-bucket remainders
-        may add up to one extra batch per shape group)."""
+        """Batch count.  Exact in fixed mode; in bucket mode the per-epoch
+        count depends on the random multiscale draw (per-bucket remainders),
+        so this returns the previous epoch's actual count once one epoch has
+        run, else the fixed-mode lower bound."""
+        if self.bucket and self._last_len is not None:
+            return self._last_len
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -177,6 +192,12 @@ class CanvasBatcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        eff_bs = self.effective_batch_size
+
+        def emit(spec, batch):
+            while len(batch) < eff_bs:
+                batch.append(_blank_item(spec))
+            q.put(_stack(batch))
 
         def producer():
             try:
@@ -188,13 +209,11 @@ class CanvasBatcher:
                     spec, batch = pending.setdefault(key, (spec, []))
                     batch.append(place_on_canvas(sample, spec))
                     if len(batch) == self.batch_size:
-                        q.put(_stack(batch))
+                        emit(spec, batch)
                         pending[key] = (spec, [])
                 for spec, batch in pending.values():
                     if batch and not self.drop_last:
-                        while len(batch) < self.batch_size:
-                            batch.append(_blank_item(spec))
-                        q.put(_stack(batch))
+                        emit(spec, batch)
             except Exception as exc:  # surface loader errors to the consumer
                 q.put(exc)
             finally:
@@ -202,10 +221,13 @@ class CanvasBatcher:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        count = 0
         while True:
             item = q.get()
             if item is SENTINEL:
                 break
             if isinstance(item, Exception):
                 raise item
+            count += 1
             yield item
+        self._last_len = count

@@ -144,6 +144,7 @@ class BaseTrainer(ABC):
             self.logger.info(
                 underline("\nEpoch {}/{}".format(epoch, total_epochs), "-"))
             self.tracker.start_new_epoch(self.current_lr())
+            self._epoch_idx = epoch  # drives per-batch rng derivation
             self.train_one_epoch(no_val=not val_path.exists())
             self.post_epoch_hook(epoch)
 

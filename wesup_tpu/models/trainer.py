@@ -45,6 +45,7 @@ class WESUPTrainer(BaseTrainer):
         self.tx = steps.make_optimizer(self.config)
         self.opt_state = self.tx.init(self.params)
         self._rng = jax.random.PRNGKey(self.config.seed + 1)
+        self._epoch_idx = 0  # set per epoch by BaseTrainer.train
         self._step_cache = {}
         self.dataloaders = {}
         self._place_state()
@@ -112,9 +113,11 @@ class WESUPTrainer(BaseTrainer):
 
     def setup_dataloaders(self, train_path, val_path, proportion=1.0):
         bs = int(self.kwargs.get("batch_size", self.config.batch_size))
+        # DP is the default training story: any batch size works over any
+        # mesh — the loader pads every batch with sample_valid=False blanks
+        # to a multiple of the data-shard count, so batches always shard
+        # cleanly (blanks contribute nothing to loss/metrics/gradients)
         n_data = self.mesh.shape.get("data", 1)
-        if bs % n_data != 0 and bs != 1:
-            raise ValueError(f"batch_size {bs} not divisible by data shards {n_data}")
 
         train_ds = self.get_default_dataset(train_path, proportion=proportion)
         train_ds.summary(logger=self.logger)
@@ -132,7 +135,8 @@ class WESUPTrainer(BaseTrainer):
                          + (" (bucketed)" if bucket else ""))
         self.dataloaders = {
             "train": CanvasBatcher(train_ds, spec, batch_size=bs, shuffle=True,
-                                   seed=self.config.seed, bucket=bucket)
+                                   seed=self.config.seed, bucket=bucket,
+                                   shard_multiple=n_data)
         }
         self._train_spec = spec
 
@@ -142,7 +146,8 @@ class WESUPTrainer(BaseTrainer):
             vspec = infer_canvas(val_ds, n_classes=self.config.n_classes)
             self.logger.info(f"Val canvas: {vspec.height}x{vspec.width}")
             self.dataloaders["val"] = CanvasBatcher(val_ds, vspec,
-                                                    batch_size=max(1, n_data))
+                                                    batch_size=max(1, n_data),
+                                                    shard_multiple=n_data)
 
     # ------------------------------------------------------------------
     # steps
@@ -161,6 +166,19 @@ class WESUPTrainer(BaseTrainer):
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _batch_rng(self, phase: str, batch_idx: int):
+        """Deterministic per-(epoch, phase, batch) key.
+
+        Counter-derived (fold_in) instead of split-chaining so the train
+        stream does not depend on how many batches any OTHER phase emitted —
+        e.g. the val loader's batch count changes with the mesh's data-shard
+        count, and chaining would shift every later epoch's augmentation.
+        Also makes resume exactly reproduce the original epoch keys.
+        """
+        key = jax.random.fold_in(self._rng, self._epoch_idx)
+        key = jax.random.fold_in(key, 0 if phase == "train" else 1)
+        return jax.random.fold_in(key, batch_idx)
 
     def _put_batch(self, batch):
         sh = batch_sharding(self.mesh)
@@ -214,14 +232,14 @@ class WESUPTrainer(BaseTrainer):
         # mid-epoch, models/base.py:202-203 -- observationally equivalent
         # since the epoch's history would be discarded either way)
         acc = steps.init_metric_acc(steps.TRAIN_METRIC_KEYS)
-        for batch in loader:
+        for i, batch in enumerate(loader):
             try:
                 hw = batch["image"].shape[1:3]
                 step = self._get_step("train", (int(hw[0]), int(hw[1])))
                 dev_batch = self._put_batch(batch)
                 self.params, self.opt_state, acc = step(
                     self.params, self.opt_state, acc, dev_batch,
-                    self._next_rng())
+                    self._batch_rng("train", i))
             except RuntimeError as ex:  # parity: swallow per-iteration errors
                 self.logger.exception(ex)
         self._track_acc(acc)
@@ -231,10 +249,11 @@ class WESUPTrainer(BaseTrainer):
         spec = loader.spec
         step = self._get_step("eval", (spec.height, spec.width))
         acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
-        for batch in loader:
+        for i, batch in enumerate(loader):
             try:
                 dev_batch = self._put_batch(batch)
-                _, acc = step(self.params, acc, dev_batch, self._next_rng())
+                _, acc = step(self.params, acc, dev_batch,
+                              self._batch_rng("val", i))
             except RuntimeError as ex:
                 self.logger.exception(ex)
         self._track_acc(acc)
