@@ -59,6 +59,33 @@ def test_fit_smoke(dataset, tmp_path, monkeypatch):
     assert ckpts2 and ckpts2[0].name == "ckpt.0003.msgpack"
 
 
+def test_pluggable_eval_metrics(dataset, tmp_path, monkeypatch):
+    """CLI-style metrics= selection (reference train.py:26-27 API): extra
+    host-side metrics are evaluated on val predictions via evaluate_host
+    and land in history.csv as val_<name>."""
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "m_records"))
+    from wesup_tpu.models import initialize_trainer
+
+    trainer = initialize_trainer(
+        "wesup", epochs=1, canvas_size=(48, 64), slic_iters=2,
+        compute_dtype="float32", sp_area=100,
+        metrics=("accuracy", "dice", "object_dice", "detection_f1"))
+    trainer.train(dataset, epochs=1)
+
+    import pandas as pd
+
+    hist = pd.read_csv(trainer.record_dir / "history.csv")
+    for col in ("val_object_dice", "val_detection_f1", "val_accuracy"):
+        assert col in hist.columns, hist.columns
+    assert np.isfinite(hist["val_object_dice"]).all()
+    # unknown names fail loudly
+    bad = initialize_trainer(
+        "wesup", epochs=1, canvas_size=(48, 64), slic_iters=2,
+        compute_dtype="float32", sp_area=100, metrics="not_a_metric")
+    with pytest.raises(ValueError, match="unknown metric"):
+        bad.train(dataset, epochs=1)
+
+
 def test_fit_smoke_flag_deletes_record_dir(dataset, tmp_path, monkeypatch):
     """train.py's smoke=True removes the record dir afterwards
     (reference train.py:23-28)."""

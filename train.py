@@ -1,7 +1,14 @@
 """Training entry point (CLI parity with reference train.py).
 
 Usage:
-    python train.py /path/to/dataset [model=wesup] [epochs=300] [smoke=True] ...
+    python train.py /path/to/dataset [model=wesup] [epochs=300] [smoke=True]
+                    [metrics=accuracy,dice,object_dice] ...
+
+``metrics=`` selects evaluation metrics by name (reference train.py:26-27
+passes the function objects [accuracy, dice]; that remains the effective
+default — accuracy/dice run on device inside the jitted eval step).  Extra
+names (e.g. ``object_dice``, ``detection_f1``) are evaluated host-side on
+the validation predictions and land in history.csv as ``val_<name>``.
 
 The dataset directory must contain ``train/`` (and optionally ``val/``) with
 ``images/``, ``masks/`` and optionally ``points/`` subdirectories.

@@ -244,19 +244,62 @@ class WESUPTrainer(BaseTrainer):
                 self.logger.exception(ex)
         self._track_acc(acc)
 
+    def _resolve_extra_metric_fns(self):
+        """Pluggable eval metrics (reference train.py:26-27 /
+        models/base.py:335-360 accept metric FUNCTIONS; the CLI passes
+        names, e.g. ``metrics=accuracy,dice,object_dice``).
+
+        accuracy/dice already run on device inside the jitted eval step;
+        anything else (contest metrics etc.) is evaluated host-side on the
+        val predictions via BaseTrainer.evaluate_host.
+        """
+        from ..utils import metrics as metrics_mod
+
+        spec = self.kwargs.get("metrics")
+        if spec is None:
+            return []
+        if isinstance(spec, str) or callable(spec):
+            spec = [spec]
+        fns = []
+        for m in spec:
+            fn = m if callable(m) else getattr(metrics_mod, str(m), None)
+            if fn is None:
+                raise ValueError(f"unknown metric: {m!r} (not a function in "
+                                 "wesup_tpu.utils.metrics)")
+            if fn.__name__ not in ("accuracy", "dice"):
+                fns.append(fn)
+        return fns
+
     def _run_val_phase(self):
         loader = self.dataloaders["val"]
         spec = loader.spec
         step = self._get_step("eval", (spec.height, spec.width))
         acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
+        extra_fns = self._resolve_extra_metric_fns()
+        host_preds, host_targets = [], []
         for i, batch in enumerate(loader):
             try:
                 dev_batch = self._put_batch(batch)
-                _, acc = step(self.params, acc, dev_batch,
-                              self._batch_rng("val", i))
+                pred, acc = step(self.params, acc, dev_batch,
+                                 self._batch_rng("val", i))
+                if extra_fns:
+                    pred_np = np.asarray(pred)
+                    for b in range(pred_np.shape[0]):
+                        if not batch["sample_valid"][b]:
+                            continue
+                        if not (batch["pixel_mask"][b] >= 0).any():
+                            continue
+                        h = int(batch["valid"][b].any(axis=1).sum())
+                        w = int(batch["valid"][b].any(axis=0).sum())
+                        host_preds.append(
+                            np.round(pred_np[b, :h, :w]).astype(np.int32))
+                        host_targets.append(batch["pixel_mask"][b, :h, :w])
             except RuntimeError as ex:
                 self.logger.exception(ex)
         self._track_acc(acc)
+        if extra_fns and host_preds:
+            self.tracker.step(
+                self.evaluate_host(extra_fns, host_preds, host_targets))
 
     def _track_acc(self, acc):
         """Fetch the device accumulator once and record phase means."""
