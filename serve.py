@@ -93,8 +93,13 @@ class Handler(BaseHTTPRequestHandler):
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
 
-def main(checkpoint=None, port=8700, mode="superpixel", scales=(0.5,),
-         warmup_hw=None, **kwargs):
+def create_server(checkpoint=None, port=8700, mode="superpixel",
+                  scales=(0.5,), warmup_hw=None, host="0.0.0.0", **kwargs):
+    """Build the model state and the HTTP server (without serving).
+
+    Split from :func:`main` so tests can run the server on an ephemeral
+    port in a thread and shut it down.
+    """
     import jax
 
     from wesup_tpu.inference import Predictor
@@ -119,8 +124,14 @@ def main(checkpoint=None, port=8700, mode="superpixel", scales=(0.5,),
         predict_multiscale(STATE.predictor, dummy, scales=STATE.scales)
         print("[serve] warmup done")
 
-    server = ThreadingHTTPServer(("0.0.0.0", int(port)), Handler)
-    print(f"[serve] listening on :{port} (mode={mode}, device={STATE.device})")
+    return ThreadingHTTPServer((host, int(port)), Handler)
+
+
+def main(**kwargs):
+    server = create_server(**kwargs)
+    mode = kwargs.get("mode", "superpixel")
+    print(f"[serve] listening on :{server.server_port} "
+          f"(mode={mode}, device={STATE.device})")
     server.serve_forever()
 
 

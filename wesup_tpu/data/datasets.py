@@ -49,7 +49,22 @@ class _DecodeCache:
     cached; per-epoch multiscale resizing still happens per access.
     """
 
-    def __init__(self, max_bytes: int = 8 << 30):
+    def __init__(self, max_bytes: int | None = None):
+        if max_bytes is None:
+            # default: 8 GB capped at a quarter of physical RAM, so small
+            # VMs don't get squeezed (override via WESUP_DECODE_CACHE_BYTES)
+            import os
+
+            env = os.environ.get("WESUP_DECODE_CACHE_BYTES")
+            if env is not None:
+                max_bytes = int(env)
+            else:
+                try:
+                    total = (os.sysconf("SC_PAGE_SIZE")
+                             * os.sysconf("SC_PHYS_PAGES"))
+                except (ValueError, OSError, AttributeError):
+                    total = 32 << 30
+                max_bytes = min(8 << 30, total // 4)
         self.max_bytes = max_bytes
         self.used = 0
         self.store = {}
