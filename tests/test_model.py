@@ -147,6 +147,26 @@ def test_staged_equals_naive_superpixel_forward(small_setup):
                                np.asarray(naive.pred), atol=2e-4)
 
 
+def test_adjoint_pooling_equals_fullres(small_setup):
+    """The adjoint-pooled default must match the round-1 full-resolution
+    formulation (both exact) including with a nontrivial validity mask."""
+    img, seg, params = small_setup
+    K = 12
+    valid = np.ones(img.shape[:3], bool)
+    valid[:, 40:, :] = False
+    valid[:, :, 56:] = False
+    adj = wesup.forward_superpixel(params, jnp.asarray(img), jnp.asarray(seg),
+                                   K, jnp.asarray(valid), pooling="adjoint")
+    full = wesup.forward_superpixel(params, jnp.asarray(img), jnp.asarray(seg),
+                                    K, jnp.asarray(valid), pooling="fullres")
+    np.testing.assert_allclose(np.asarray(adj.sp_pred),
+                               np.asarray(full.sp_pred), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(adj.sp_features),
+                               np.asarray(full.sp_features), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(adj.pred),
+                               np.asarray(full.pred), atol=2e-4)
+
+
 def test_forward_matches_torch_reference(small_setup):
     img, seg, params = small_setup
     K = 12

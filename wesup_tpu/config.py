@@ -112,6 +112,12 @@ class WESUPConfig(BaseConfig):
     # always float32.
     compute_dtype: str = "bfloat16"
 
+    # Superpixel pooling formulation: "adjoint" (default) pools every stage
+    # at native resolution through adjoint-resized assignment weights (exact
+    # up to fp reassociation, ~4x less HBM traffic); "fullres" is the
+    # round-1 upsample-then-pool path (ablation baseline).
+    pooling: str = "adjoint"
+
     # Number of data-parallel shards (<=0 means "all visible devices").
     num_devices: int = 0
 

@@ -137,21 +137,39 @@ def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
             sizes = [(int(H0 * s), int(W0 * s)) for s in scales]
 
         # everything (per-scale resize, model, resize back) runs on device:
-        # originals are uploaded ONCE per chunk on a 32-aligned canvas
+        # originals are uploaded ONCE per chunk on a 32-aligned canvas.
+        # PIPELINED: jax dispatch is async, so all per-scale forwards of a
+        # chunk are enqueued before any result is fetched, and the NEXT
+        # chunk's host canvas prep + upload overlaps the device compute of
+        # the current one (one chunk in flight).
         Hc, Wc = _round_up(H0), _round_up(W0)
         acc = [None] * len(idxs)
-        for start in range(0, len(idxs), max_batch):
+
+        def dispatch(start):
             chunk = idxs[start:start + max_batch]
             canvas = np.zeros((len(chunk), Hc, Wc, 3), np.uint8)
             for j, i in enumerate(chunk):
                 canvas[j, :H0, :W0] = imgs_u8[i]
             canvas = jnp.asarray(canvas)
-            for (th, tw) in sizes:
-                step = predictor._scaled_step((H0, W0), (th, tw), (Hc, Wc))
-                out = np.asarray(step(predictor.params, canvas))
-                for j, i in enumerate(chunk):
+            return start, [predictor._scaled_step((H0, W0), sz, (Hc, Wc))(
+                predictor.params, canvas) for sz in sizes]
+
+        def drain(start, outs):
+            for out in outs:
+                out = np.asarray(out)
+                for j in range(out.shape[0]):
                     pos = start + j
-                    acc[pos] = out[j] if acc[pos] is None else acc[pos] + out[j]
+                    acc[pos] = (out[j] if acc[pos] is None
+                                else acc[pos] + out[j])
+
+        in_flight = None
+        for start in range(0, len(idxs), max_batch):
+            dispatched = dispatch(start)
+            if in_flight is not None:
+                drain(*in_flight)
+            in_flight = dispatched
+        if in_flight is not None:
+            drain(*in_flight)
 
         for pos, i in enumerate(idxs):
             fused = acc[pos] / len(sizes)

@@ -159,7 +159,8 @@ def _forward_and_loss(params, prep: Preprocessed, K, config: WESUPConfig,
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
     out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
-                                   prep.valid, compute_dtype)
+                                   prep.valid, compute_dtype,
+                                   pooling=config.pooling)
 
     def per_sample(sp_pred, sp_feats, seg_i, sup_i, valid_i):
         stats = superpixel_stats(seg_i, K, sup_i, valid_i)
@@ -290,7 +291,8 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
                 compactness=config.sp_compactness,
                 n_iters=config.slic_iters))(img, valid)
             out = wesup.forward_superpixel(params, img, seg, K, valid,
-                                           compute_dtype)
+                                           compute_dtype,
+                                           pooling=config.pooling)
             return out.pred
     elif mode == "pixel":
         def step(params, image, valid):
@@ -345,7 +347,8 @@ def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
                 compactness=config.sp_compactness,
                 n_iters=config.slic_iters))(scaled, valid)
             out = wesup.forward_superpixel(params, scaled, seg, K, valid,
-                                           compute_dtype)
+                                           compute_dtype,
+                                           pooling=config.pooling)
             pred = jnp.round(out.pred[:, :th, :tw])
             # rounded 0/1 predictions travel back through the tunnel as
             # uint8 (4x less transfer than f32)
@@ -375,7 +378,8 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
         compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                          else jnp.float32)
         out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
-                                       prep.valid, compute_dtype)
+                                       prep.valid, compute_dtype,
+                                       pooling=config.pooling)
         pred = jnp.round(out.pred).astype(jnp.int32)
         target = prep.target
         mvalid = prep.valid & (target >= 0)

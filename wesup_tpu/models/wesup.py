@@ -178,37 +178,113 @@ class SuperpixelForward(NamedTuple):
     pred: jnp.ndarray         # (B, H, W) foreground-probability map
 
 
+def _stage_taps_and_proj(params, taps, w1_blocks, s, compute_dtype):
+    """Concatenated taps of resolution stage ``s`` and the fused
+    (side conv x fc1-block) projection for them."""
+    idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
+    stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
+    proj = jnp.concatenate([
+        (params["side"][f"side{i}"]["w"].astype(jnp.float32)
+         @ w1_blocks[i].astype(jnp.float32)) for i in idxs
+    ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
+    return stage_taps, proj
+
+
+def _fused_bias(params, w1_blocks):
+    """fc1 bias + every side-conv bias pushed through its fc1 block."""
+    bias = params["fc1"]["b"].astype(jnp.float32)
+    for i in range(len(vgg.CONV_CHANNELS)):
+        side = params["side"][f"side{i}"]
+        bias = bias + (side["b"].astype(jnp.float32)
+                       @ w1_blocks[i].astype(jnp.float32))
+    return bias
+
+
 def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
                        K: int, valid: jnp.ndarray | None = None,
-                       compute_dtype=jnp.float32) -> SuperpixelForward:
+                       compute_dtype=jnp.float32,
+                       pooling: str = "adjoint") -> SuperpixelForward:
     """Superpixel-wise forward (reference WESUP.forward, models/wesup.py:263-304).
 
     Args:
         img: (B, H, W, 3) in [0, 1]
         seg: (B, H, W) int32 superpixel assignments in [0, K)
         valid: (B, H, W) bool canvas validity
+        pooling: 'adjoint' (default) pools every stage at its NATIVE
+            resolution through adjoint-resized assignment weights — exact up
+            to fp reassociation, and the (B, H, W, 1024) full-resolution map
+            never exists (~4x less HBM traffic).  'fullres' is the round-1
+            upsample-then-pool formulation, kept for ablation.
     """
+    if pooling == "fullres":
+        return forward_superpixel_fullres(params, img, seg, K, valid,
+                                          compute_dtype)
+    B, H, W = img.shape[:3]
+
+    taps = vgg.backbone_features(params["backbone"], img, compute_dtype)
+    w1_blocks = _fc1_blocks(params)
+    bias = _fused_bias(params, w1_blocks)
+
+    # one-hot assignment, built once: raw for painting, validity-masked for
+    # pooling (gathers profiled 23 ms/step; one-hot matmuls <1 ms)
+    oh_raw = (seg[..., None] == jnp.arange(K, dtype=seg.dtype)
+              ).astype(compute_dtype)                       # (B, H, W, K)
+    if valid is not None:
+        oh = oh_raw * valid[..., None].astype(compute_dtype)
+    else:
+        oh = oh_raw
+    counts = oh.sum(axis=(1, 2)).astype(jnp.float32)        # (B, K)
+
+    # Exact adjoint-pooling identity: for the separable bilinear upsample
+    # R = A_h (x) A_w,  sum_{p in k} resize(z_s)(p) = <M_s[..., k], z_s>
+    # with M_s = A_h^T OH A_w — so every stage pools AT NATIVE RESOLUTION
+    # (two banded adjoint contractions on the one-hot + a (Q_s, K)x(Q_s, C)
+    # matmul), and pooling commutes with the stage projection, so the
+    # (K, C_s) sums are projected AFTER pooling (the stage-1 trick of
+    # round 1, generalized to all five stages).
+    from ..ops.resize import _interp_matrix
+
+    pooled = None
+    for s in range(5):
+        stage_taps, proj = _stage_taps_and_proj(params, taps, w1_blocks, s,
+                                                compute_dtype)
+        Hs, Ws = stage_taps.shape[1:3]
+        if (Hs, Ws) == (H, W):
+            M = oh
+        else:
+            A_h = jnp.asarray(_interp_matrix(Hs, H, True), compute_dtype)
+            A_w = jnp.asarray(_interp_matrix(Ws, W, True), compute_dtype)
+            t = jnp.einsum("hu,bhwk->buwk", A_h, oh)
+            M = jnp.einsum("wv,buwk->buvk", A_w, t)
+        sums = jnp.einsum("buvk,buvc->bkc", M, stage_taps,
+                          preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("bkc,cd->bkd", sums.astype(compute_dtype), proj,
+                             preferred_element_type=jnp.float32)
+        pooled = contrib if pooled is None else pooled + contrib
+
+    pooled = pooled / jnp.maximum(counts[..., None], 1.0)   # (B, K, 1024)
+    sp_pred, sp_feats = _mlp_head(params, pooled + bias)
+
+    fg = jnp.einsum("bhwk,bk->bhw", oh_raw,
+                    sp_pred[..., 1].astype(compute_dtype)).astype(jnp.float32)
+    return SuperpixelForward(sp_pred, sp_feats, fg)
+
+
+def forward_superpixel_fullres(params: dict, img: jnp.ndarray,
+                               seg: jnp.ndarray, K: int,
+                               valid: jnp.ndarray | None = None,
+                               compute_dtype=jnp.float32) -> SuperpixelForward:
+    """Round-1 formulation (ablation baseline): project per stage at native
+    resolution, W-resize, ONE fused H-upsample+sum contraction into the
+    full-resolution (B, H, W, 1024) map, then pool (stage 1 pool-then-
+    project).  Exact; ~4x more HBM traffic than the adjoint default."""
     B, H, W = img.shape[:3]
     if valid is None:
         valid = jnp.ones((B, H, W), bool)
 
     taps = vgg.backbone_features(params["backbone"], img, compute_dtype)
     w1_blocks = _fc1_blocks(params)
-
-    bias = params["fc1"]["b"].astype(jnp.float32)
-    for i in range(len(taps)):
-        side = params["side"][f"side{i}"]
-        bias = bias + (side["b"].astype(jnp.float32)
-                       @ w1_blocks[i].astype(jnp.float32))
-
-    def stage_proj(s):
-        idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
-        stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
-        proj = jnp.concatenate([
-            (params["side"][f"side{i}"]["w"].astype(jnp.float32)
-             @ w1_blocks[i].astype(jnp.float32)) for i in idxs
-        ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
-        return stage_taps, proj
+    bias = _fused_bias(params, w1_blocks)
 
     # stages 2-5 need upsampling: project at native resolution, W-resize,
     # then ONE fused H-upsample+sum contraction (exact)
@@ -216,7 +292,8 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
 
     stage_maps = []
     for s in range(1, 5):
-        stage_taps, proj = stage_proj(s)
+        stage_taps, proj = _stage_taps_and_proj(params, taps, w1_blocks, s,
+                                                compute_dtype)
         z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
         stage_maps.append(resize_w_only(z, W, align_corners=True))
     z_rest = fused_upsample_sum(stage_maps, H, align_corners=True)
@@ -225,7 +302,8 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     # projection, so pool the 128-ch taps FIRST and project the (K, 128)
     # result — the (B, H, W, 1024) stage-1 map never exists (saves ~2 GB of
     # HBM writes per GlaS-0.5x B=8 step)
-    taps0, proj0 = stage_proj(0)
+    taps0, proj0 = _stage_taps_and_proj(params, taps, w1_blocks, 0,
+                                        compute_dtype)
 
     def pool_one(taps0_i, z_rest_i, seg_i, valid_i):
         oh = seg_ops.one_hot_assignment(seg_i, K, valid_i, dtype=compute_dtype)
