@@ -125,12 +125,7 @@ def hypercolumn_projection_parts(params: dict, img: jnp.ndarray,
     B, H, W = img.shape[:3]
     taps = vgg.backbone_features(params["backbone"], img, compute_dtype)
     w1_blocks = _fc1_blocks(params)
-
-    bias = params["fc1"]["b"].astype(jnp.float32)
-    for i in range(len(taps)):
-        side = params["side"][f"side{i}"]
-        bias = bias + (side["b"].astype(jnp.float32)
-                       @ w1_blocks[i].astype(jnp.float32))
+    bias = _fused_bias(params, w1_blocks)
 
     # group taps by resolution stage; one concat + one matmul per stage,
     # W-resize at native height, then ONE fused H-upsample+sum contraction
@@ -138,12 +133,8 @@ def hypercolumn_projection_parts(params: dict, img: jnp.ndarray,
 
     stage_maps = []
     for s in range(5):
-        idxs = [i for i, st in enumerate(vgg.CONV_STAGE) if st == s]
-        stage_taps = jnp.concatenate([taps[i] for i in idxs], axis=-1)
-        proj = jnp.concatenate([
-            (params["side"][f"side{i}"]["w"].astype(jnp.float32)
-             @ w1_blocks[i].astype(jnp.float32)) for i in idxs
-        ], axis=0).astype(compute_dtype)  # (sum C_i, 1024)
+        stage_taps, proj = _stage_taps_and_proj(params, taps, w1_blocks, s,
+                                                compute_dtype)
         z = jnp.einsum("bhwc,cd->bhwd", stage_taps, proj)
         stage_maps.append(resize_w_only(z, W, align_corners=True))
     return fused_upsample_sum(stage_maps, H, align_corners=True), bias
