@@ -55,14 +55,45 @@ def host_resize_nearest(img: np.ndarray, out_hw):
 
 
 class Predictor:
-    """Caches jitted predict steps per canvas shape."""
+    """Caches jitted predict steps per canvas shape.
 
-    def __init__(self, params, config, mode: str = "superpixel"):
+    Pass ``mesh`` (a jax.sharding.Mesh with a 'data' axis) to shard
+    inference batches across chips: params are replicated, batches are
+    placed with P('data') and padded to a shard multiple, and XLA
+    partitions every step (SURVEY.md §5's tiling-over-the-mesh story —
+    tile batches from predict_tiled ride the same path).
+    """
+
+    def __init__(self, params, config, mode: str = "superpixel", mesh=None):
         self.params = params
         self.config = config
         self.mode = mode
+        self.mesh = mesh
         self._cache = {}
         self._scaled_cache = {}
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), params)
+
+    @property
+    def data_shards(self) -> int:
+        return self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+
+    def _put_batch(self, *arrays):
+        """Device placement for batch-dim arrays (sharded when meshed)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
 
     def _step(self, hw):
         if hw not in self._cache:
@@ -81,22 +112,21 @@ class Predictor:
 
         Floats are fed straight through (no uint8 re-quantization; the
         reference keeps float images after F.interpolate, infer.py:74)."""
-        import jax.numpy as jnp
-
         B, h, w = images_f.shape[:3]
         H, W = _round_up(h), _round_up(w)
-        canvas = np.empty((B, H, W, 3), np.float32)
-        canvas[:, :h, :w] = images_f
+        Bp = _round_up(B, self.data_shards)  # pad rows shard the mesh evenly
+        canvas = np.zeros((Bp, H, W, 3), np.float32)
+        canvas[:B, :h, :w] = images_f
         if w < W:
-            canvas[:, :h, w:] = images_f[:, :, w - 1:w]
+            canvas[:B, :h, w:] = images_f[:, :, w - 1:w]
         if h < H:
-            canvas[:, h:, :] = canvas[:, h - 1:h, :]
-        valid = np.zeros((B, H, W), bool)
-        valid[:, :h, :w] = True
+            canvas[:B, h:, :] = canvas[:B, h - 1:h, :]
+        valid = np.zeros((Bp, H, W), bool)
+        valid[:B, :h, :w] = True
 
         step = self._step((H, W))
-        pred = step(self.params, jnp.asarray(canvas), jnp.asarray(valid))
-        return np.asarray(pred)[:, :h, :w]
+        pred = step(self.params, *self._put_batch(canvas, valid))
+        return np.asarray(pred)[:B, :h, :w]
 
 
 def predict_multiscale(predictor: Predictor, img_u8: np.ndarray,
@@ -117,8 +147,6 @@ def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
     on GlaS, where images share a handful of sizes, this fills the chip.
     Output math is identical to the per-image path.
     """
-    import jax.numpy as jnp
-
     sp_mode = predictor.mode == "superpixel"
     results = [None] * len(imgs_u8)
 
@@ -147,17 +175,19 @@ def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
 
         def dispatch(start):
             chunk = idxs[start:start + max_batch]
-            canvas = np.zeros((len(chunk), Hc, Wc, 3), np.uint8)
+            n = _round_up(len(chunk), predictor.data_shards)
+            canvas = np.zeros((n, Hc, Wc, 3), np.uint8)
             for j, i in enumerate(chunk):
                 canvas[j, :H0, :W0] = imgs_u8[i]
-            canvas = jnp.asarray(canvas)
-            return start, [predictor._scaled_step((H0, W0), sz, (Hc, Wc))(
-                predictor.params, canvas) for sz in sizes]
+            (canvas,) = predictor._put_batch(canvas)
+            return start, len(chunk), [
+                predictor._scaled_step((H0, W0), sz, (Hc, Wc))(
+                    predictor.params, canvas) for sz in sizes]
 
-        def drain(start, outs):
+        def drain(start, n_real, outs):
             for out in outs:
                 out = np.asarray(out)
-                for j in range(out.shape[0]):
+                for j in range(n_real):
                     pos = start + j
                     acc[pos] = (out[j] if acc[pos] is None
                                 else acc[pos] + out[j])
