@@ -29,7 +29,8 @@ def save_predictions(predictions, dataset, output_dir="predictions"):
 def infer(trainer, data_dir, output_dir=None, input_size=None, scales=(0.5,),
           **_):
     dataset = SegmentationDataset(data_dir, train=False)
-    predictor = Predictor(trainer.params, trainer.config, mode="superpixel")
+    predictor = Predictor(trainer.params, trainer.config, mode="superpixel",
+                          mesh=trainer.mesh)
 
     size_info = (f"input size {input_size}" if input_size
                  else f"scales {scales}")

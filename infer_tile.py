@@ -25,7 +25,8 @@ from wesup_tpu.models import initialize_trainer
 def infer(trainer, data_dir, patch_size, output_dir=None, chunk=8):
     data_dir = Path(data_dir).expanduser()
     img_paths = sorted((data_dir / "images").iterdir())
-    predictor = Predictor(trainer.params, trainer.config, mode="superpixel")
+    predictor = Predictor(trainer.params, trainer.config, mode="superpixel",
+                          mesh=trainer.mesh)
 
     print(f"Predicting {len(img_paths)} images from {data_dir} ...")
     predictions = []

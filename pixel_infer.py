@@ -34,7 +34,8 @@ def main(data_root, checkpoint=None, output=None, scales=(0.5,), **kwargs):
     trainer = initialize_trainer("wesup", **kwargs)
     if checkpoint is not None:
         trainer.load_checkpoint(checkpoint)
-    predictor = Predictor(trainer.params, trainer.config, mode="pixel")
+    predictor = Predictor(trainer.params, trainer.config, mode="pixel",
+                          mesh=trainer.mesh)
 
     img_paths = sorted((data_root / "images").iterdir())
     for img_path in img_paths:

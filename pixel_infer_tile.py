@@ -33,7 +33,8 @@ def main(data_root, checkpoint=None, patch_size=300, output=None, chunk=8,
     trainer = initialize_trainer("wesup", **kwargs)
     if checkpoint is not None:
         trainer.load_checkpoint(checkpoint)
-    predictor = Predictor(trainer.params, trainer.config, mode="pixel")
+    predictor = Predictor(trainer.params, trainer.config, mode="pixel",
+                          mesh=trainer.mesh)
 
     print("Making inference ...")
     img_paths = sorted((data_root / "images").iterdir())

@@ -111,7 +111,8 @@ def create_server(checkpoint=None, port=8700, mode="superpixel",
     trainer = initialize_trainer("wesup", **kwargs)
     if checkpoint is not None:
         trainer.load_checkpoint(checkpoint)
-    STATE.predictor = Predictor(trainer.params, trainer.config, mode=mode)
+    STATE.predictor = Predictor(trainer.params, trainer.config, mode=mode,
+                              mesh=trainer.mesh)
     STATE.scales = tuple(scales)
     STATE.device = str(jax.devices()[0])
 
