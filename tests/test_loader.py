@@ -58,6 +58,27 @@ def test_batcher_pads_last_batch(dataset_root):
     assert not batches[-1]["valid"][1].any()
 
 
+def test_batcher_shard_multiple_pads_every_batch(dataset_root):
+    """Mesh-aware padding: every emitted batch dim is a multiple of
+    shard_multiple; blanks carry sample_valid=False; __len__ learns the
+    actual bucket-mode batch count after one epoch."""
+    ds = SegmentationDataset(dataset_root / "train",
+                             multiscale_range=(0.3, 0.4))
+    spec = CanvasSpec(48, 48)
+    batcher = CanvasBatcher(ds, spec, batch_size=3, shard_multiple=4)
+    assert batcher.effective_batch_size == 4
+    batches = list(batcher)
+    for b in batches:
+        assert b["image"].shape[0] == 4
+        assert b["sample_valid"].sum() <= 3
+    assert sum(int(b["sample_valid"].sum()) for b in batches) == len(ds)
+
+    bucketed = CanvasBatcher(ds, spec, batch_size=2, shard_multiple=2,
+                             bucket=True)
+    n = len(list(bucketed))
+    assert len(bucketed) == n  # exact after the first epoch
+
+
 def test_batcher_shuffles_deterministically(dataset_root):
     ds = SegmentationDataset(dataset_root / "val", rescale_factor=0.5,
                              train=False)
