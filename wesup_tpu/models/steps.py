@@ -122,9 +122,13 @@ def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
 
         A = aug.random_affine(k_aff, (H, W), pos_cfg)
         img = aug.warp(img, A, order=1)
-        pixel_mask = aug.warp(pixel_mask.astype(jnp.float32), A, order=0,
-                              fill=-1.0).astype(jnp.int32)
-        valid = aug.warp(valid.astype(jnp.float32), A, order=0) > 0.5
+        # mask and valid share the order-0 banded weights (one warp, two
+        # channels, per-channel fill) — the weight tensors are the cost
+        aux = jnp.stack([pixel_mask.astype(jnp.float32),
+                         valid.astype(jnp.float32)], axis=-1)
+        aux = aug.warp(aux, A, order=0, fill=jnp.array([-1.0, 0.0]))
+        pixel_mask = aux[..., 0].astype(jnp.int32)
+        valid = aux[..., 1] > 0.5
         pts_xy = aug.transform_points(pts_xy, A)
 
     pts_int = jnp.concatenate(

@@ -149,8 +149,12 @@ def random_affine(key: jax.Array, hw,
 
 
 def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
-         fill: float = 0.0) -> jnp.ndarray:
+         fill=0.0) -> jnp.ndarray:
     """Inverse-warp (H, W, C) or (H, W) by the forward affine A (xy coords).
+
+    ``fill`` may be a scalar or a (C,)-vector (per-channel fill) — channels
+    sharing one warp share the banded weight tensors, which dominate the
+    warp's cost, so callers should stack same-order arrays into channels.
 
     Gather-free: map_coordinates lowers to TPU gathers that profiled at half
     the whole train step (9 of 18 ms).  Instead the affine is factored into
