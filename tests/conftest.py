@@ -32,3 +32,12 @@ jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+if _platform != "cpu":
+    # The parity suite asserts f32-strict tolerances (1e-4..1e-6) against
+    # torch/cv2/numpy references.  TPU matmuls default to bf16 passes for
+    # f32 inputs; request full f32 accumulation so the SAME assertions run
+    # on real hardware (production configs use compute_dtype=bfloat16
+    # explicitly, so this only affects f32 test tolerances, not the
+    # benchmarked path).
+    jax.config.update("jax_default_matmul_precision", "highest")

@@ -21,6 +21,12 @@ def test_entry_compiles_and_runs():
 
 
 def test_dryrun_multichip_8():
+    if jax.default_backend() != "cpu":
+        # dryrun_multichip must force the CPU platform BEFORE the backend
+        # initializes; under WESUP_TEST_PLATFORM=axon it already has.
+        import pytest
+
+        pytest.skip("dryrun self-configures the CPU platform pre-init")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

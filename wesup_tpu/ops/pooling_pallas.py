@@ -45,11 +45,22 @@ def _kernel(seg_ref, feat_ref, out_ref, acc_ref, *, K: int, block_p: int):
 
     seg = seg_ref[:]                      # (1, block_p) int32
     feat = feat_ref[:]                    # (block_p, c_tile)
-    # one-hot tile built in VMEM: (block_p, K); invalid pixels carry seg = -1
-    ids = jax.lax.broadcasted_iota(jnp.int32, (block_p, K), 1)
-    onehot = (seg.reshape(block_p, 1) == ids).astype(feat.dtype)
+    # one-hot tile built in VMEM directly in TRANSPOSED (K, block_p) layout:
+    # Mosaic rejects a bf16 matmul with a transposed lhs ("Bad lhs type"),
+    # and the iota compare is free to emit either layout.  Invalid pixels
+    # carry seg = -1 and match no row.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (K, block_p), 0)
+    onehot = (seg.reshape(1, block_p) == ids).astype(feat.dtype)
+    # precision pinned by operand dtype: a global jax_default_matmul_
+    # precision="highest" would request an fp32-pass contraction on bf16
+    # operands, which Mosaic rejects ("Bad lhs type") — bf16 inputs use the
+    # native MXU pass (and still accumulate in f32 via
+    # preferred_element_type); f32 inputs keep the full-precision passes.
+    precision = (jax.lax.Precision.DEFAULT if feat.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     acc_ref[:] += jax.lax.dot_general(
-        onehot, feat, dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot, feat, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32)
 
     @pl.when(pb == n_pb - 1)
