@@ -45,8 +45,9 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     Single-host v5e-8 needs nothing (ICI collectives are implicit in the
     mesh); for multi-host slices call this once per process before building
-    meshes.  Not exercisable in this environment (one chip), provided as the
-    documented entry point.
+    meshes.  Exercised by tests/test_multihost.py: two processes form one
+    global 8-device mesh and run the full train step with the gradient
+    reduction crossing the process boundary (Gloo on CPU, DCN on pods).
     """
     import jax
 
