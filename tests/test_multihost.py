@@ -42,7 +42,10 @@ def test_two_process_global_mesh_train_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            # both children cold-compile the train step simultaneously on
+            # this box's single core after any compute-path change; warm
+            # runs finish in ~1 min
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

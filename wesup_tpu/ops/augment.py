@@ -153,22 +153,31 @@ def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
     """Inverse-warp (H, W, C) or (H, W) by the forward affine A (xy coords).
 
     ``fill`` may be a scalar or a (C,)-vector (per-channel fill) — channels
-    sharing one warp share the banded weight tensors, which dominate the
-    warp's cost, so callers should stack same-order arrays into channels.
+    sharing one warp share all the resampling work, so callers should stack
+    same-order arrays into channels.
 
-    Gather-free: map_coordinates lowers to TPU gathers that profiled at half
-    the whole train step (9 of 18 ms).  Instead the affine is factored into
-    two axis-aligned 1-D resampling passes (x then y), each an iota-built
-    banded matrix product that rides the MXU.  Sub-pixel results differ from
-    direct bilinear by the usual two-pass shear decomposition — within the
-    augmentation stack's statistical-parity budget (tests assert point/image
-    consistency to ~1 px).  The factoring needs |m11| bounded away from
-    0 (guaranteed by the reference's +-45° rotation limit; a numeric guard covers
-    pathological configs).
+    Gather-free, and free of dense per-row weight tensors: map_coordinates
+    lowers to TPU gathers (profiled at half the train step), and the earlier
+    banded formulation built per-row (H, W_out, W_in) weights — (B, 288,
+    416, 416) f32 monsters that profiled at ~57% of the B=8 train step.
+    Instead the affine is factored into two axis-aligned shear passes, and
+    each shear pos = stride*t + offset(row) splits into
+      (1) ONE shared banded stride-resample matrix (L_r, L) per sample
+          (iota-built, rides the MXU), and
+      (2) a per-row INTEGER shift, applied as a log2(range) binary shift
+          cascade of whole-tensor selects (pure elementwise, fusable),
+          plus one fractional lerp between adjacent columns.
+    Sub-pixel results differ from direct bilinear by the usual shear/lerp
+    composition — within the augmentation stack's statistical-parity budget
+    (tests assert point/image consistency to ~1 px); axis flips and
+    identity remain exact.  The factoring needs |m11| bounded away from 0
+    (guaranteed by the reference's +-45° rotation limit; a numeric guard
+    covers pathological configs).
     """
     H, W = img.shape[:2]
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
+    C = x.shape[-1]
 
     Ainv = jnp.linalg.inv(A)
     m00, m01, m02 = Ainv[0, 0], Ainv[0, 1], Ainv[0, 2]
@@ -186,13 +195,68 @@ def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
     ys = jnp.arange(H, dtype=jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
 
-    # pass 1: tmp[y, x] = in[y, a*x + b*y + c]
-    pos1 = a * xs[None, :] + b * ys[:, None] + c          # (H, W)
-    tmp = _resample_x(x, pos1, order, fill)
-    # pass 2: out[y, x] = tmp[m11*y + m10*x + m12, x]
-    pos2 = m11 * ys[:, None] + m10 * xs[None, :] + m12    # (H, W)
-    out = _resample_y(tmp, pos2, order, fill)
+    # an exact-coverage channel travels through both passes so fill can be
+    # applied once at the end ((1 - cov) distributes linearly over passes)
+    x = jnp.concatenate([x, jnp.ones((H, W, 1), x.dtype)], axis=-1)
+
+    # pass 1: tmp[y, x] = in[y, a*x + (b*y + c)]   (shift range ~ |b|*H <= H
+    # for the <=45° limit; 1.2x static headroom)
+    tmp = _shear(x, a, b * ys + c, order, axis=1,
+                 range_max=int(1.2 * H) + 2)
+    # pass 2: out[y, x] = tmp[m11*y + (m10*x + m12), x]
+    out = _shear(tmp, m11, m10 * xs + m12, order, axis=0,
+                 range_max=int(1.2 * W) + 2)
+
+    cov = out[..., -1:]
+    fill = jnp.asarray(fill, x.dtype)
+    out = out[..., :-1] + (1.0 - cov) * fill
     return out[..., 0] if squeeze else out
+
+
+def _shear(img: jnp.ndarray, stride, offs: jnp.ndarray, order: int, *,
+           axis: int, range_max: int) -> jnp.ndarray:
+    """out[.., t, ..] = img[.., stride*t + offs[r], ..] along ``axis``, where
+    ``offs`` varies over the OTHER spatial axis (r).
+
+    Decomposition: r[t'] = img[stride*t' + p0] via one shared banded matrix
+    (L + range_max, L), then out[r, t] = r[r, t + s_r] with
+    s_r = (offs[r] - p0)/stride >= 0 split into an integer binary-shift
+    cascade and one fractional lerp.  p0 is chosen (min or max of offs,
+    by stride sign) so every shift is non-negative.
+    """
+    if axis == 0:  # operate along rows by transposing to the axis=1 layout
+        return _shear(img.swapaxes(0, 1), stride, offs, order,
+                      axis=1, range_max=range_max).swapaxes(0, 1)
+
+    L = img.shape[1]
+    R = range_max
+    p0 = jnp.where(stride > 0, offs.min(), offs.max())
+    s = jnp.clip((offs - p0) / stride, 0.0, float(R))     # (rows,)
+
+    if order == 0:
+        k = jnp.floor(s + 0.5).astype(jnp.int32)
+        f = None
+    else:
+        k = jnp.floor(s).astype(jnp.int32)
+        f = (s - k)[:, None, None]
+
+    # shared banded stride-resample: r[t'] = img[stride*t' + p0]
+    Lr = L + R + 2
+    posr = stride * jnp.arange(Lr, dtype=jnp.float32) + p0
+    M = _band_weights(posr, L, order)                     # (Lr, L)
+    r = jnp.einsum("xj,hjc->hxc", M, img)                 # (rows, Lr, C)
+
+    # per-row integer shift as a binary cascade of whole-tensor selects
+    for i in range((R + 1).bit_length()):
+        sh = 1 << i
+        shifted = jnp.concatenate(
+            [r[:, sh:], jnp.zeros_like(r[:, :sh])], axis=1)
+        bit = ((k >> i) & 1).astype(bool)[:, None, None]
+        r = jnp.where(bit, shifted, r)
+
+    if order == 0:
+        return r[:, :L]
+    return (1.0 - f) * r[:, :L] + f * r[:, 1:L + 1]
 
 
 def _band_weights(pos: jnp.ndarray, size: int, order: int) -> jnp.ndarray:
