@@ -68,8 +68,22 @@ batch = to_global(local_batch, P("data"))
 rng = to_global(jax.random.key_data(jax.random.PRNGKey(1)), P())
 
 step = steps.make_train_step(config, (H, W), point_mode=True, tx=tx)
-params, opt_state, acc = step(params, opt_state, acc,
-                              batch, jax.random.wrap_key_data(rng))
+
+# Compile BEFORE touching any collective, then rendezvous at the
+# coordination-service barrier (which does not go through Gloo): Gloo's
+# context init times out after ~30 s, and two cold compiles on one core can
+# easily skew the processes' first collective by more than that.
+rng_key = jax.random.wrap_key_data(rng)
+compiled = step.lower(params, opt_state, acc, batch, rng_key).compile()
+try:
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "wesup_mh_compiled", timeout_in_ms=20 * 60 * 1000)
+except (ImportError, AttributeError):
+    pass  # older jax: fall back to Gloo-rendezvous luck
+
+params, opt_state, acc = compiled(params, opt_state, acc, batch, rng_key)
 # pull the epoch-mean loss out replicated so every process can read it
 mean_loss = jax.jit(lambda a: a["sums"]["loss"] / a["count"],
                     out_shardings=NamedSharding(mesh, P()))(acc)

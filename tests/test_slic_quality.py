@@ -31,6 +31,21 @@ def _oracle(seg, mask):
     return float((votes[seg] == m).mean())
 
 
+def test_subsampled_updates_keep_oracle_accuracy():
+    """The production default (config slic_update_stride=2) must stay at
+    oracle-accuracy parity with the exact full-grid k-means (stride 1)."""
+    rng = np.random.default_rng(5)
+    exact, sub = [], []
+    for _ in range(3):
+        img, mask = make_image(rng, 120, 160)
+        f = jnp.asarray(img.astype(np.float32) / 255.0)
+        exact.append(_oracle(slic(f, sp_area=200, compactness=40.0), mask))
+        sub.append(_oracle(slic(f, sp_area=200, compactness=40.0,
+                                update_stride=2), mask))
+    assert np.mean(sub) > np.mean(exact) - 0.005, (np.mean(sub),
+                                                   np.mean(exact))
+
+
 def test_oracle_accuracy_matches_cpu_slic():
     rng = np.random.default_rng(0)
     ours_acc, cpu_acc = [], []

@@ -104,6 +104,13 @@ class WESUPConfig(BaseConfig):
     # Fixed number of SLIC iterations on device (skimage default max_iter=10).
     slic_iters: int = 10
 
+    # SLIC center-update subsampling stride: the iterative assign/update
+    # runs on an (H/s, W/s) strided pixel grid (final assignment is always
+    # full resolution).  2 measured identical to 1 on the oracle-accuracy
+    # probe to 4 decimals while cutting SLIC device time ~4x (PERF_NOTES
+    # 16); set 1 for the exact full-grid k-means.
+    slic_update_stride: int = 2
+
     # Static canvas (H, W) that images are padded onto.  ``None`` = derive
     # from the dataset (max image size x max scale, rounded up to x32).
     canvas_size: Optional[Tuple[int, int]] = None

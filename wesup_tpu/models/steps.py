@@ -150,7 +150,8 @@ def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
 
     img = jnp.clip(img, 0.0, 1.0)
     seg = slic(img, valid, sp_area=config.sp_area,
-               compactness=config.sp_compactness, n_iters=config.slic_iters)
+               compactness=config.sp_compactness, n_iters=config.slic_iters,
+               update_stride=config.slic_update_stride)
     return Preprocessed(img, valid, pixel_mask, seg, sup)
 
 
@@ -293,7 +294,8 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
             seg = jax.vmap(lambda im, v: slic(
                 im, v, sp_area=config.sp_area,
                 compactness=config.sp_compactness,
-                n_iters=config.slic_iters))(img, valid)
+                n_iters=config.slic_iters,
+                update_stride=config.slic_update_stride))(img, valid)
             out = wesup.forward_superpixel(params, img, seg, K, valid,
                                            compute_dtype,
                                            pooling=config.pooling)
@@ -349,7 +351,8 @@ def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
             seg = jax.vmap(lambda im, v: slic(
                 im, v, sp_area=config.sp_area,
                 compactness=config.sp_compactness,
-                n_iters=config.slic_iters))(scaled, valid)
+                n_iters=config.slic_iters,
+                update_stride=config.slic_update_stride))(scaled, valid)
             out = wesup.forward_superpixel(params, scaled, seg, K, valid,
                                            compute_dtype,
                                            pooling=config.pooling)

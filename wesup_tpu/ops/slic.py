@@ -130,7 +130,7 @@ def _shift_grid(grid: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
          sp_area: int = 200, compactness: float = 40.0,
-         n_iters: int = 10) -> jnp.ndarray:
+         n_iters: int = 10, update_stride: int = 1) -> jnp.ndarray:
     """Compute SLIC superpixel assignments fully on device.
 
     Args:
@@ -140,6 +140,13 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
         sp_area: target superpixel area in pixels (reference sp_area=200).
         compactness: SLIC compactness (reference sp_compactness=40).
         n_iters: fixed number of assignment/update iterations.
+        update_stride: center-update subsampling.  With stride s the
+            iterative assign/update runs on the (H/s, W/s) strided pixel
+            grid (a k-means on a regular sample of the pixels, the gSLICr
+            trick), and only the FINAL assignment runs at full resolution —
+            the per-iteration cost drops ~s^2.  stride 1 is the exact
+            formulation; stride 2 measured within noise of it on the
+            oracle-accuracy probe (tests/test_slic_quality.py).
 
     Returns:
         seg: (H, W) int32 cluster ids in [0, Kh*Kw).
@@ -178,56 +185,86 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
         cell_sums_uw[..., :5] / jnp.maximum(cell_sums_uw[..., 5:6], 1e-6),
     )  # (Kh, Kw, 5)
 
-    scaled_feat = feat * inv_step
+    def grid_consts(iy: np.ndarray, ix: np.ndarray):
+        """Constant matrices restricted to pixel rows ``iy`` / cols ``ix``."""
+        cy, cx = plan.cell_y[iy], plan.cell_x[ix]
+        sel_r = [np.asarray(Sr)[iy] for Sr in plan.sel_rows]  # (h, Kh)
+        sel_c = [np.asarray(Sc)[ix] for Sc in plan.sel_cols]  # (w, Kw)
+        bin_r = np.zeros((Kh, len(iy)), np.float32)
+        bin_r[cy, np.arange(len(iy))] = 1.0
+        bin_c = np.zeros((Kw, len(ix)), np.float32)
+        bin_c[cx, np.arange(len(ix))] = 1.0
+        # per-offset candidate validity: out-of-grid neighbor cells are
+        # masked with +inf distance rather than clamped.  (Clamped
+        # candidates would duplicate the unclamped ones and could win
+        # argmin ties at borders, whose contributions the update's
+        # shift-add then drops.)
+        bias = []
+        for dy, dx in _OFFSETS:
+            rv = (cy + dy >= 0) & (cy + dy < Kh)
+            cv = (cx + dx >= 0) & (cx + dx < Kw)
+            bias.append(np.where(np.outer(rv, cv), 0.0, np.inf))
+        return (cy, cx, sel_r, sel_c, jnp.asarray(bin_r), jnp.asarray(bin_c),
+                jnp.asarray(np.stack(bias, -1), jnp.float32))
 
-    # per-offset candidate validity: out-of-grid neighbor cells are masked
-    # with +inf distance rather than clamped.  (Clamped candidates would
-    # duplicate the unclamped ones and could win argmin ties at borders,
-    # whose contributions the update's shift-add then drops.)
-    invalid_bias = []
-    for dy, dx in _OFFSETS:
-        rv = (plan.cell_y + dy >= 0) & (plan.cell_y + dy < Kh)
-        cv = (plan.cell_x + dx >= 0) & (plan.cell_x + dx < Kw)
-        invalid_bias.append(np.where(np.outer(rv, cv), 0.0, np.inf))
-    invalid_bias = jnp.asarray(np.stack(invalid_bias, -1), jnp.float32)
+    def make_assign(grid, scaled_feat_g):
+        cy, cx, sel_r, sel_c, _, _, bias = grid
+        h, w = len(cy), len(cx)
 
-    def assign(centers):
-        """Per-pixel argmin over the 9 neighboring cell centers.
+        def assign(centers):
+            """Per-pixel argmin over the 9 neighboring cell centers.
 
-        All 9 shifted center grids are stacked channel-wise so the cell->pixel
-        broadcast is a single pair of constant-matrix products.
-        Returns (best_offset_onehot (H, W, 9), seg (H, W) int32).
-        """
-        stacked = jnp.concatenate(
-            [_shift_grid(centers, dy, dx) for dy, dx in _OFFSETS], axis=-1)
-        cmap = _cell_to_pixel(plan, stacked, 0, 0)  # (H, W, 9*5)
-        best_d = jnp.full((H, W), jnp.inf, dtype=jnp.float32)
-        best_o = jnp.zeros((H, W), dtype=jnp.int32)
-        for o in range(9):
-            diff = scaled_feat - cmap[..., o * 5:(o + 1) * 5] * inv_step
-            d = jnp.sum(diff * diff, axis=-1) + invalid_bias[..., o]
-            take = d < best_d
-            best_d = jnp.where(take, d, best_d)
-            best_o = jnp.where(take, o, best_o)
-        onehot = (best_o[..., None] ==
-                  jnp.arange(9, dtype=jnp.int32)).astype(jnp.float32)
-        cy = jnp.asarray(plan.cell_y)[:, None]
-        cx = jnp.asarray(plan.cell_x)[None, :]
-        # offset decode as arithmetic (a table gather here profiled at
-        # ~16 ms/step on v5e: TPU gathers are slow even from tiny tables)
-        sy = cy + best_o // 3 - 1
-        sx = cx + best_o % 3 - 1
-        seg = sy * Kw + sx
-        return onehot, seg
+            All 9 shifted center grids are stacked channel-wise so the
+            cell->pixel broadcast is a single pair of constant-matrix
+            products.  Returns (onehot (h, w, 9), seg (h, w) int32).
+            """
+            stacked = jnp.concatenate(
+                [_shift_grid(centers, dy, dx) for dy, dx in _OFFSETS],
+                axis=-1)
+            Sr = jnp.asarray(sel_r[1])                       # offset 0 rows
+            Sc = jnp.asarray(sel_c[1])
+            cmap = jnp.einsum("hk,kwf->hwf", Sr, stacked)
+            cmap = jnp.einsum("wk,hkf->hwf", Sc, cmap)       # (h, w, 45)
+            best_d = jnp.full((h, w), jnp.inf, dtype=jnp.float32)
+            best_o = jnp.zeros((h, w), dtype=jnp.int32)
+            for o in range(9):
+                diff = scaled_feat_g - cmap[..., o * 5:(o + 1) * 5] * inv_step
+                d = jnp.sum(diff * diff, axis=-1) + bias[..., o]
+                take = d < best_d
+                best_d = jnp.where(take, d, best_d)
+                best_o = jnp.where(take, o, best_o)
+            onehot = (best_o[..., None] ==
+                      jnp.arange(9, dtype=jnp.int32)).astype(jnp.float32)
+            # offset decode as arithmetic (a table gather here profiled at
+            # ~16 ms/step on v5e: TPU gathers are slow even from tiny tables)
+            sy = jnp.asarray(cy)[:, None] + best_o // 3 - 1
+            sx = jnp.asarray(cx)[None, :] + best_o % 3 - 1
+            seg = sy * Kw + sx
+            return onehot, seg
+
+        return assign
+
+    # iteration grid: optionally a strided pixel subsample (update_stride>1)
+    s = max(1, int(update_stride))
+    iy = np.arange(0, H, s)
+    ix = np.arange(0, W, s)
+    it_grid = grid_consts(iy, ix)
+    feat_it = feat[::s, ::s]
+    weight_it = weight[::s, ::s]
+    assign_it = make_assign(it_grid, feat_it * inv_step)
+    _, _, _, _, bin_r_it, bin_c_it, _ = it_grid
+    h_it, w_it = len(iy), len(ix)
 
     def update(centers, onehot):
         # per-pixel contribution to each of its 9 candidate clusters:
-        # (H, W, 9 * 6) where 6 = 5 features + 1 count, weighted by validity
+        # (h, w, 9 * 6) where 6 = 5 features + 1 count, weighted by validity
         contrib = (onehot[..., :, None] *
-                   (jnp.concatenate([feat, jnp.ones((H, W, 1), jnp.float32)],
-                                    -1) * weight)[..., None, :])
-        contrib = contrib.reshape(H, W, 9 * 6)
-        B = _bin_cells(plan, contrib).reshape(Kh, Kw, 9, 6)
+                   (jnp.concatenate([feat_it,
+                                     jnp.ones((h_it, w_it, 1), jnp.float32)],
+                                    -1) * weight_it)[..., None, :])
+        contrib = contrib.reshape(h_it, w_it, 9 * 6)
+        x = jnp.einsum("kh,hwf->kwf", bin_r_it, contrib)
+        B = jnp.einsum("lw,kwf->klf", bin_c_it, x).reshape(Kh, Kw, 9, 6)
         # cluster (i, j) collects cell (i - dy, j - dx) sums for offset (dy, dx)
         total = jnp.zeros((Kh, Kw, 6), jnp.float32)
         for o, (dy, dx) in enumerate(_OFFSETS):
@@ -237,11 +274,18 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
                          centers)
 
     def body(_, centers):
-        onehot, _ = assign(centers)
+        onehot, _ = assign_it(centers)
         return update(centers, onehot)
 
     centers = jax.lax.fori_loop(0, n_iters, body, centers, unroll=False)
-    _, seg = assign(centers)
+
+    # final assignment always at FULL resolution
+    if s == 1:
+        assign_full = assign_it
+    else:
+        full_grid = grid_consts(np.arange(H), np.arange(W))
+        assign_full = make_assign(full_grid, feat * inv_step)
+    _, seg = assign_full(centers)
     return seg
 
 
