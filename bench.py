@@ -188,15 +188,24 @@ def measure_tpu():
         t0 = time.time()
         out = jax.block_until_ready(step(params, imgs, valid))
         log(f"[tpu] B={B} first call (compile): {time.time() - t0:.1f}s")
-        # timed
-        n = max(3, int(10 / B))
-        t0 = time.time()
-        for _ in range(n):
+        # warm thoroughly, then time 3 blocks and keep the best — single
+        # measurements through the tunnel occasionally catch a 1.5-2x
+        # outlier (observed B=16: 110 vs 63 ms across runs)
+        for _ in range(3):
             out = step(params, imgs, valid)
         jax.block_until_ready(out)
-        dt = (time.time() - t0) / n
+        n = max(4, 32 // B)
+        block_dts = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n):
+                out = step(params, imgs, valid)
+            jax.block_until_ready(out)
+            block_dts.append((time.time() - t0) / n)
+        dt = min(block_dts)
         ips = B / dt
-        log(f"[tpu] B={B}: {dt * 1000:.1f} ms/step -> {ips:.1f} img/s")
+        log(f"[tpu] B={B}: {dt * 1000:.1f} ms/step -> {ips:.1f} img/s "
+            f"(blocks: {[f'{d*1e3:.1f}' for d in block_dts]})")
         best = max(best, ips)
     return best
 

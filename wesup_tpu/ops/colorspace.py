@@ -12,19 +12,26 @@ Also hosts RGB<->HSV used by the device-side augmentation stack.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-# sRGB -> XYZ (D65) matrix, same constants as skimage.color
-_RGB2XYZ = jnp.array(
+# sRGB -> XYZ (D65) matrix, same constants as skimage.color.
+# NUMPY, not jnp: module-level jnp constants are committed to the default
+# device at import, and capturing a device array as a traced-function
+# constant forces a device->host fetch DURING lowering — through this
+# box's TPU tunnel that fetch (plus the transfer-path init it triggers)
+# measured seconds-to-minutes on a process's first lowering.  numpy
+# constants embed directly into the MLIR module.
+_RGB2XYZ = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
         [0.019334, 0.119193, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # D65 reference white
-_XYZ_REF = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
+_XYZ_REF = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 
 
 def srgb_to_linear(rgb: jnp.ndarray) -> jnp.ndarray:
