@@ -181,31 +181,54 @@ def measure_tpu():
     params = wesup.init_params(jax.random.PRNGKey(0))
     step = make_predict_step(config, CANVAS, mode="superpixel")
 
+    # Timing through the axon tunnel is treacherous: block_until_ready has
+    # been observed returning immediately on pending results, the terminal
+    # memoizes repeated (executable, inputs) pairs, and every host<->device
+    # round trip costs ~40 ms.  So the timed unit is an ON-DEVICE
+    # lax.scan of N FULL predict steps (each iteration salts the image so
+    # no work can be reused or elided), finished by one synchronous scalar
+    # fetch; the per-step time is the difference quotient between two scan
+    # lengths, which cancels dispatch/RPC/fetch overhead exactly.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n")
+    def repeat_steps(params, imgs, valid, n):
+        def body(carry, salt):
+            out = step(params, imgs + salt, valid)
+            return carry + jnp.mean(out), None
+        total, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(n, dtype=jnp.uint8))
+        return total
+
+    def timed_fetch(n_steps, imgs, valid):
+        t0 = time.time()
+        val = float(np.asarray(repeat_steps(params, imgs, valid, n_steps)))
+        dt = time.time() - t0
+        assert np.isfinite(val), "non-finite predictions"
+        return dt
+
     best = 0.0
+    N_SHORT, N_LONG = 2, 12
     for B in (1, 8, 16):
         imgs, valid = make_images(B)
         imgs, valid = jnp.asarray(imgs), jnp.asarray(valid)
         t0 = time.time()
-        out = jax.block_until_ready(step(params, imgs, valid))
+        timed_fetch(N_SHORT, imgs, valid)
         log(f"[tpu] B={B} first call (compile): {time.time() - t0:.1f}s")
-        # warm thoroughly, then time 3 blocks and keep the best — single
-        # measurements through the tunnel occasionally catch a 1.5-2x
-        # outlier (observed B=16: 110 vs 63 ms across runs)
+        timed_fetch(N_LONG, imgs, valid)  # warm the long program too
+        dts = []
         for _ in range(3):
-            out = step(params, imgs, valid)
-        jax.block_until_ready(out)
-        n = max(4, 32 // B)
-        block_dts = []
-        for _ in range(3):
-            t0 = time.time()
-            for _ in range(n):
-                out = step(params, imgs, valid)
-            jax.block_until_ready(out)
-            block_dts.append((time.time() - t0) / n)
-        dt = min(block_dts)
+            t_short = timed_fetch(N_SHORT, imgs, valid)
+            t_long = timed_fetch(N_LONG, imgs, valid)
+            dts.append((t_long - t_short) / (N_LONG - N_SHORT))
+        dt = min(d for d in dts if d > 0) if any(d > 0 for d in dts) else -1
+        if dt < 5e-4:  # < 0.5 ms/step is beyond roofline for this model
+            raise RuntimeError(
+                f"implausible timing {dt*1e3:.3f} ms/step at B={B} — "
+                "TPU terminal state suspect, rerun bench")
         ips = B / dt
         log(f"[tpu] B={B}: {dt * 1000:.1f} ms/step -> {ips:.1f} img/s "
-            f"(blocks: {[f'{d*1e3:.1f}' for d in block_dts]})")
+            f"(diffquot blocks: {[f'{d*1e3:.1f}' for d in dts]})")
         best = max(best, ips)
     return best
 
