@@ -32,7 +32,7 @@ initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
 
 import numpy as np  # noqa: E402
 from jax.experimental import multihost_utils  # noqa: E402
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+from jax.sharding import Mesh, PartitionSpec as P  # noqa: E402
 
 import __graft_entry__ as graft  # noqa: E402
 from wesup_tpu.config import WESUPConfig  # noqa: E402
@@ -84,9 +84,12 @@ except (ImportError, AttributeError):
     pass  # older jax: fall back to Gloo-rendezvous luck
 
 params, opt_state, acc = compiled(params, opt_state, acc, batch, rng_key)
-# pull the epoch-mean loss out replicated so every process can read it
-mean_loss = jax.jit(lambda a: a["sums"]["loss"] / a["count"],
-                    out_shardings=NamedSharding(mesh, P()))(acc)
-loss = float(np.asarray(mean_loss))
+# read the loss from the LOCAL addressable shard of the replicated
+# accumulator — launching a second program here would create a second
+# Gloo communicator whose 30 s rendezvous can time out if the peer is
+# still executing its (contended, single-core) train step
+loss_sum = np.asarray(acc["sums"]["loss"].addressable_data(0))
+count = np.asarray(acc["count"].addressable_data(0))
+loss = float(loss_sum) / max(float(count), 1.0)
 assert np.isfinite(loss), loss
 print(f"proc {pid}/{nproc}: multihost train step OK loss={loss:.4f}")
