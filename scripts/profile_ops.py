@@ -19,10 +19,21 @@ def _xspace_class():
     from google.protobuf import (descriptor_pb2, descriptor_pool,
                                  message_factory)
 
-    desc = glob.glob(
-        "/opt/venv/lib/python3.12/site-packages/tensorflow/include/"
-        "tensorflow/tsl/profiler/protobuf/"
-        "xplane_proto-descriptor-set.proto.bin")
+    rel = ("include/tensorflow/tsl/profiler/protobuf/"
+           "xplane_proto-descriptor-set.proto.bin")
+    desc = []
+    try:
+        import tensorflow
+        from pathlib import Path
+        desc = glob.glob(str(Path(tensorflow.__file__).parent / rel))
+    except ImportError:
+        pass
+    if not desc:  # fall back to a site-packages sweep (any venv layout)
+        import site
+        for sp in site.getsitepackages() + [site.getusersitepackages()]:
+            desc = glob.glob(f"{sp}/tensorflow/{rel}")
+            if desc:
+                break
     if not desc:
         raise SystemExit("xplane descriptor set not found (need tensorflow)")
     ds = descriptor_pb2.FileDescriptorSet()

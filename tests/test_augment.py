@@ -47,6 +47,39 @@ def test_hflip_only():
     np.testing.assert_allclose(out, img[:, ::-1], atol=1e-5)
 
 
+def test_shear_overflow_degrades_to_fill():
+    """Rows whose per-row shift exceeds the static headroom must produce
+    ZERO output (-> fill via the caller's coverage channel), never
+    wrongly-shifted content with coverage still 1 (ADVICE r2 medium)."""
+    H, W = 16, 32
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((H, W, 2)).astype(np.float32) + 1.0)
+
+    # per-row shifts: rows 0..H-2 inside headroom, last row far beyond it
+    R = 8
+    offs_np = np.linspace(0.0, float(R) - 1.0, H).astype(np.float32)
+    offs_np[-1] = 3.0 * R  # overflow
+    out = np.asarray(aug._shear(img, 1.0, jnp.asarray(offs_np), 1,
+                                axis=1, range_max=R))
+
+    # in-range rows match a direct per-row resample (interior columns; edge
+    # columns carry partial band coverage by design — fill is the caller's
+    # coverage channel's job)
+    for r in (0, H // 3, H - 2):
+        pos = np.arange(W, dtype=np.float32) + offs_np[r]
+        interior = pos <= W - 2
+        k = np.floor(pos[interior]).astype(int)
+        f = (pos[interior] - k)[:, None]
+        vals = np.asarray(img[r])
+        exp = (1 - f) * vals[k] + f * vals[k + 1]
+        np.testing.assert_allclose(out[r][interior], exp, atol=1e-5,
+                                   err_msg=str(r))
+        np.testing.assert_allclose(out[r][pos >= W], 0.0, atol=1e-6)
+
+    # the overflowing row is fully zeroed (graceful fill), not clip-shifted
+    np.testing.assert_allclose(out[-1], 0.0, atol=1e-6)
+
+
 def test_appearance_stays_in_range_and_changes_image():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))

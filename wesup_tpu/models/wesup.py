@@ -247,14 +247,18 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     down = [s for s in range(5)
             if tuple(stage_parts[s][0].shape[1:3]) != (H, W)]
     t_cat = None
+    # structural (stage -> column slice) pairing into t_cat, so a reorder or
+    # per-stage skip can never silently slice the wrong adjoint block
+    stage_Hs = [stage_parts[s][0].shape[1] for s in down]
+    t_slices = dict(zip(down, zip(np.cumsum([0] + stage_Hs[:-1]), stage_Hs)))
     if down:
         A_cat = np.concatenate(
-            [_interp_matrix(stage_parts[s][0].shape[1], H, True)
-             for s in down], axis=1)                     # (H, sum Hs)
+            [_interp_matrix(Hs, H, True) for Hs in stage_Hs],
+            axis=1)                                      # (H, sum Hs)
         t_cat = jnp.einsum("hu,bhwk->buwk",
                            jnp.asarray(A_cat, compute_dtype), oh)
 
-    pooled, off = None, 0
+    pooled = None
     for s in range(5):
         stage_taps, proj = stage_parts[s]
         Hs, Ws = stage_taps.shape[1:3]
@@ -262,8 +266,8 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
             M = oh
         else:
             A_w = jnp.asarray(_interp_matrix(Ws, W, True), compute_dtype)
-            M = jnp.einsum("wv,buwk->buvk", A_w, t_cat[:, off:off + Hs])
-            off += Hs
+            off, nH = t_slices[s]
+            M = jnp.einsum("wv,buwk->buvk", A_w, t_cat[:, off:off + nH])
         sums = jnp.einsum("buvk,buvc->bkc", M, stage_taps,
                           preferred_element_type=jnp.float32)
         contrib = jnp.einsum("bkc,cd->bkd", sums.astype(compute_dtype), proj,

@@ -177,7 +177,6 @@ def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
     H, W = img.shape[:2]
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
-    C = x.shape[-1]
 
     Ainv = jnp.linalg.inv(A)
     m00, m01, m02 = Ainv[0, 0], Ainv[0, 1], Ainv[0, 2]
@@ -231,7 +230,13 @@ def _shear(img: jnp.ndarray, stride, offs: jnp.ndarray, order: int, *,
     L = img.shape[1]
     R = range_max
     p0 = jnp.where(stride > 0, offs.min(), offs.max())
-    s = jnp.clip((offs - p0) / stride, 0.0, float(R))     # (rows,)
+    s_raw = (offs - p0) / stride                          # (rows,)
+    s = jnp.clip(s_raw, 0.0, float(R))
+    # rows whose true shift exceeds the static headroom would alias to
+    # wrongly-shifted content with coverage still 1; zero them instead so
+    # the caller's coverage channel degrades to fill (graceful, like the
+    # old banded path)
+    row_ok = ((s_raw >= 0.0) & (s_raw <= float(R)))[:, None, None]
 
     if order == 0:
         k = jnp.floor(s + 0.5).astype(jnp.int32)
@@ -255,8 +260,8 @@ def _shear(img: jnp.ndarray, stride, offs: jnp.ndarray, order: int, *,
         r = jnp.where(bit, shifted, r)
 
     if order == 0:
-        return r[:, :L]
-    return (1.0 - f) * r[:, :L] + f * r[:, 1:L + 1]
+        return r[:, :L] * row_ok
+    return ((1.0 - f) * r[:, :L] + f * r[:, 1:L + 1]) * row_ok
 
 
 def _band_weights(pos: jnp.ndarray, size: int, order: int) -> jnp.ndarray:

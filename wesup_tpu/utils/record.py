@@ -52,6 +52,27 @@ def copy_source_files(record_dir: Path):
         copyfile(source_file, source_dir / os.path.basename(source_file))
 
 
+def _curve_specs(columns):
+    """Map history.csv columns to curve files: one PNG per metric.
+
+    A train-phase column ``m`` yields ``m.png`` with Train(+Val) series; a
+    validation-only column ``val_m`` yields ``val_m.png`` with its single
+    series (same files the reference emits, utils/record.py:81-107)."""
+    cols = set(columns)
+    specs = []
+    for key in columns:
+        if key == "lr":
+            continue
+        if key.startswith("val_"):
+            metric = key[len("val_"):]
+            if metric not in cols:  # metric computed only on the val phase
+                specs.append((f"{key}.png", metric, [key], None))
+        else:
+            series = [key] + ([f"val_{key}"] if f"val_{key}" in cols else [])
+            specs.append((f"{key}.png", key, series, ["Train", "Val"]))
+    return specs
+
+
 def plot_learning_curves(history_path: Path):
     """Per-metric learning-curve PNGs from history.csv (utils/record.py:71-107)."""
     import matplotlib
@@ -65,31 +86,14 @@ def plot_learning_curves(history_path: Path):
     curves_dir = history_path.parent / "curves"
     curves_dir.mkdir(exist_ok=True)
 
-    for key in history.columns:
-        if key.startswith("val_"):
-            if key.replace("val_", "") not in history.columns:
-                plt.figure(dpi=200)
-                plt.title("Model " + key.replace("val_", ""))
-                plt.plot(history[key])
-                plt.ylabel(key.replace("val_", "").capitalize())
-                plt.xlabel("Epoch")
-                plt.grid(True)
-                plt.savefig(curves_dir / f"{key}.png")
-                plt.close()
-            continue
-        if key == "lr":
-            continue
-        plt.figure(dpi=200)
-        try:
-            plt.plot(history[key])
-            if "val_" + key in history.columns:
-                plt.plot(history["val_" + key])
-        except KeyError:
-            pass
-        plt.title("Model " + key)
-        plt.ylabel(key.capitalize())
-        plt.xlabel("Epoch")
-        plt.legend(["Train", "Val"])
-        plt.grid(True)
-        plt.savefig(curves_dir / f"{key}.png")
-        plt.close()
+    for fname, metric, series, legend in _curve_specs(list(history.columns)):
+        fig, ax = plt.subplots(dpi=200)
+        for col in series:
+            ax.plot(history[col])
+        ax.set(title=f"Model {metric}", xlabel="Epoch",
+               ylabel=metric.capitalize())
+        if legend is not None:
+            ax.legend(legend)
+        ax.grid(True)
+        fig.savefig(curves_dir / fname)
+        plt.close(fig)
