@@ -23,44 +23,62 @@ sys.path.insert(0, str(Path(__file__).parent))
 from _common import imread_gray, label8  # noqa: E402
 
 
-def _sample_within_region(rng, region_mask, class_label, num_samples=1):
-    xs, ys = np.where(region_mask)
+def _sampling_plan(mask, point_ratio):
+    """Yield (bool submask, class_label, n_points) work items.
 
-    if num_samples == 1:
-        x_center = int(np.round(xs.mean()))
-        y_center = int(np.round(ys.mean()))
-        for _ in range(6):
-            x = x_center + rng.integers(-5, 6)
-            y = y_center + rng.integers(-5, 6)
-            if (0 <= x < region_mask.shape[0] and 0 <= y < region_mask.shape[1]
-                    and region_mask[x, y]):
-                return np.c_[x, y, class_label]
-
-    selected = rng.permutation(len(xs))[:num_samples]
-    xs, ys = xs[selected], ys[selected]
-    return np.c_[xs, ys, np.full_like(xs, class_label)]
-
-
-def generate_points(mask, point_ratio=1e-4, rng=None):
-    rng = rng or np.random.default_rng()
-    points = []
+    Background (class 0) is one item over the whole class mask at
+    area*ratio; each foreground connected region is its own item with at
+    least one point (reference generate_points.py:48-78)."""
     for class_label in np.unique(mask):
         class_mask = mask == class_label
         if class_label == 0:
-            n = int(class_mask.sum() * point_ratio)
-            if n > 0:
-                points.append(_sample_within_region(rng, class_mask,
-                                                    class_label, n))
-        else:
-            regions = label8(class_mask)
-            for idx in np.unique(regions[regions > 0]):
-                region_mask = regions == idx
-                n = max(1, int(region_mask.sum() * point_ratio))
-                points.append(_sample_within_region(rng, region_mask,
-                                                    class_label, n))
-    if not points:
-        return np.zeros((0, 3), int)
-    return np.concatenate(points)
+            yield class_mask, 0, int(class_mask.sum() * point_ratio)
+            continue
+        regions = label8(class_mask)
+        for idx in np.unique(regions[regions > 0]):
+            region = regions == idx
+            yield region, int(class_label), max(1, int(region.sum() * point_ratio))
+
+
+def _jittered_centroid(rng, region_mask):
+    """Centroid +-5 jitter, <=6 draws, landing inside the region — or None
+    (falls back to a uniform draw, reference generate_points.py:22-45)."""
+    rr, cc = np.where(region_mask)
+    r0, c0 = int(np.round(rr.mean())), int(np.round(cc.mean()))
+    H, W = region_mask.shape
+    for _ in range(6):
+        r = r0 + rng.integers(-5, 6)
+        c = c0 + rng.integers(-5, 6)
+        if 0 <= r < H and 0 <= c < W and region_mask[r, c]:
+            return r, c
+    return None
+
+
+def generate_points(mask, point_ratio=1e-4, rng=None):
+    """(N, 3) rows of (row, col, class) sampled points."""
+    rng = rng or np.random.default_rng()
+    rows = []
+    for region, class_label, n in _sampling_plan(mask, point_ratio):
+        if n == 1:
+            hit = _jittered_centroid(rng, region)
+            if hit is not None:
+                rows.append((hit[0], hit[1], class_label))
+                continue
+        rr, cc = np.where(region)
+        for i in rng.permutation(len(rr))[:n]:
+            rows.append((int(rr[i]), int(cc[i]), class_label))
+    return np.array(rows, int).reshape(-1, 3)
+
+
+def _annotate_one(mask_path, out_path, point_ratio, seed):
+    rng = np.random.default_rng(seed)
+    mask = np.asarray(imread_gray(mask_path))
+    points = generate_points(mask, point_ratio=point_ratio, rng=rng)
+    with open(out_path, "w") as fp:
+        # xy order on disk (reference swaps columns at generate_points.py:107)
+        csv.writer(fp).writerows(
+            [(int(c), int(r), int(k)) for r, c, k in points])
+    return len(points)
 
 
 def main():
@@ -81,18 +99,11 @@ def main():
     label_dir.mkdir(exist_ok=True)
     print("Generating point annotation ...")
 
-    def para_func(fname):
-        rng = np.random.default_rng(args.seed)
-        basename = os.path.splitext(fname)[0]
-        mask = np.asarray(imread_gray(mask_dir / fname))
-        points = generate_points(mask, point_ratio=args.point_ratio, rng=rng)
-        points[:, [0, 1]] = points[:, [1, 0]]  # (row, col) -> (x, y)
-        with open(label_dir / f"{basename}.csv", "w") as fp:
-            csv.writer(fp).writerows(points.tolist())
-        return len(points)
-
+    jobs = [(mask_dir / f, label_dir / f"{Path(f).stem}.csv")
+            for f in sorted(os.listdir(mask_dir))]
     counts = Parallel(n_jobs=os.cpu_count())(
-        delayed(para_func)(f) for f in sorted(os.listdir(mask_dir)))
+        delayed(_annotate_one)(src, dst, args.point_ratio, args.seed)
+        for src, dst in jobs)
     print(f"Average number of points: {np.mean(counts)}.")
 
 

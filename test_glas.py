@@ -8,6 +8,9 @@ from pathlib import Path
 from infer import infer
 from wesup_tpu.models import initialize_trainer
 
+DEFAULT_DATA_ROOT = Path.home() / "data" / "GLAS_all"
+SPLITS = ("testA", "testB")
+
 
 def test(ckpt_path, model_type="wesup", input_size=None, scales=(0.5,),
          data_root=None, **kwargs):
@@ -15,25 +18,21 @@ def test(ckpt_path, model_type="wesup", input_size=None, scales=(0.5,),
     trainer = initialize_trainer(model_type, **kwargs)
     trainer.load_checkpoint(ckpt_path)
 
+    # fixed-size runs land in results/, multi-scale in results-<n>scale/
+    # (reference test_glas.py:22-27)
     record_dir = ckpt_path.parent.parent
-    if input_size is not None:
-        results_dir = record_dir / "results"
-    else:
-        results_dir = record_dir / f"results-{len(scales)}scale"
+    suffix = "" if input_size is not None else f"-{len(scales)}scale"
+    results_dir = record_dir / f"results{suffix}"
     results_dir.mkdir(exist_ok=True)
 
-    data_root = Path(data_root) if data_root else Path.home() / "data" / "GLAS_all"
-
-    print("\nTesting on test set A ...")
-    infer(trainer, data_root / "testA", results_dir / "testA",
-          input_size=input_size, scales=scales)
-
-    print("\nTesting on test set B ...")
-    infer(trainer, data_root / "testB", results_dir / "testB",
-          input_size=input_size, scales=scales)
+    data_root = Path(data_root) if data_root else DEFAULT_DATA_ROOT
+    for split in SPLITS:
+        print(f"\nTesting on test set {split[-1]} ...")
+        infer(trainer, data_root / split, results_dir / split,
+              input_size=input_size, scales=scales)
 
 
-if __name__ == "__main__":
+def _cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--model", default="wesup")
     parser.add_argument("--input-size")
@@ -44,10 +43,12 @@ if __name__ == "__main__":
                              "(default ~/data/GLAS_all)")
     args = parser.parse_args()
 
-    input_size = None
-    if args.input_size is not None:
-        input_size = [int(s) for s in args.input_size.split(",")]
-    scales = tuple(float(s) for s in args.scales.split(","))
+    size = [int(s) for s in args.input_size.split(",")] \
+        if args.input_size is not None else None
+    return args, size, tuple(float(s) for s in args.scales.split(","))
 
+
+if __name__ == "__main__":
+    args, input_size, scales = _cli()
     test(args.checkpoint, model_type=args.model, input_size=input_size,
          scales=scales, data_root=args.data_root)
