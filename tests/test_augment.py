@@ -80,6 +80,36 @@ def test_shear_overflow_degrades_to_fill():
     np.testing.assert_allclose(out[-1], 0.0, atol=1e-6)
 
 
+def test_warp_exact_agrees_with_cascade():
+    """The exact one-pass warp (ablation reference) and the shift-cascade
+    warp agree to the documented one-lerp-composition tolerance on interior
+    pixels, and exactly on identity/flips."""
+    H, W = 40, 48
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+
+    # identity and flip: both exact
+    for cfg in (aug.PositionConfig(hflip_p=0.0, vflip_p=0.0, ssr_p=0.0),
+                aug.PositionConfig(hflip_p=1.0, vflip_p=0.0, ssr_p=0.0)):
+        A = aug.random_affine(jax.random.PRNGKey(0), (H, W), cfg)
+        a = np.asarray(aug.warp(img, A, order=1))
+        b = np.asarray(aug.warp_exact(img, A, order=1))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # generic rotation+scale+shift: interior pixels within lerp-composition
+    # error (smooth random image -> small)
+    for seed in range(4):
+        A = aug.random_affine(jax.random.PRNGKey(seed), (H, W))
+        a = np.asarray(aug.warp(img, A, order=1, fill=0.5))
+        b = np.asarray(aug.warp_exact(img, A, order=1, fill=0.5))
+        # compare away from fill boundaries (coverage blending differs)
+        interior = (np.abs(a - 0.5).max(-1) > 1e-3) & \
+                   (np.abs(b - 0.5).max(-1) > 1e-3)
+        assert interior.mean() > 0.2, seed
+        diff = np.abs(a - b)[interior]
+        assert np.median(diff) < 0.08, (seed, np.median(diff))
+
+
 def test_appearance_stays_in_range_and_changes_image():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))

@@ -40,8 +40,10 @@ def _split_threshold(img, seg, sup, K):
     """Pick a propagation threshold that splits the candidates at init: with
     He-init features all pairwise similarities cluster near 1.0, so a fixed
     literature-style threshold (0.8/0.95) either always or never fires.  The
-    median of the candidates' max-similarity guarantees the threshold branch
-    is exercised BOTH ways on the first step."""
+    midpoint of the LARGEST GAP between adjacent candidate max-similarities
+    guarantees the branch is exercised BOTH ways on the first step while
+    sitting as far as possible from every candidate — so backend ulps
+    (CPU vs TPU) cannot flip which candidates receive pseudo-labels."""
     params = wesup.init_params(jax.random.PRNGKey(1))
     out = wesup.forward_superpixel(params, jnp.asarray(img),
                                    jnp.asarray(seg), K)
@@ -49,8 +51,10 @@ def _split_threshold(img, seg, sup, K):
     f = np.asarray(out.sp_features[0], np.float64)
     lab = np.asarray(stats.labeled)
     d2 = ((f[:, None] - f[None, :]) ** 2).sum(-1)
-    max_sim = np.exp(-d2)[:, lab].max(1)[~lab]
-    return float(np.median(max_sim))
+    max_sim = np.sort(np.exp(-d2)[:, lab].max(1)[~lab])
+    gaps = np.diff(max_sim)
+    i = int(np.argmax(gaps[1:-1])) + 1 if len(gaps) > 2 else len(gaps) // 2
+    return float((max_sim[i] + max_sim[i + 1]) / 2.0)
 
 
 def _make_problem(rng, H, W, K, n_labeled, C=2):
@@ -137,12 +141,15 @@ def _run_trajectories(img, seg, sup, K, *, n_steps, class_weights, thr, pw,
                          ids=["unweighted-reference-wiring", "weighted-optin"])
 def test_sgd_trajectory_matches_torch(class_weights):
     if jax.default_backend() != "cpu":
-        # Deliberately chaotic: thr is the MEDIAN candidate similarity, so
-        # an ulp-level backend difference flips which candidates receive
-        # pseudo-labels and the trajectories take discrete jumps apart
-        # (verified on TPU: step 1 matches to 1e-6, step 2 diverges by a
-        # whole propagation term).  The bf16 test below covers TPU.
-        pytest.skip("median-threshold propagation amplifies backend ulps")
+        # The largest-gap threshold (see _split_threshold) makes step 1
+        # backend-proof, but the guarantee decays as features move: by step
+        # 3 a candidate drifts into the fixed threshold and TPU-vs-torch-CPU
+        # ulps flip the discrete propagation branch (measured: step-3 loss
+        # 0.69 vs 1.04).  Strict 20-step f32 parity is a CPU-only claim;
+        # TPU propagation coverage comes from
+        # test_propagation_fires_both_ways_at_production_threshold (margin-
+        # calibrated, runs on TPU) and the bf16 trajectory test below.
+        pytest.skip("fixed-threshold branch amplifies cross-backend ulps")
     rng = np.random.default_rng(0)
     H, W, K = 32, 32, 8
     img, seg, sup = _make_problem(rng, H, W, K, n_labeled=3)
@@ -160,6 +167,86 @@ def test_sgd_trajectory_matches_torch(class_weights):
     # pseudo-label, some stay below threshold
     assert 0 < n_prop[0] < 5, f"threshold not split at init: {n_prop[0]}"
     assert max(n_prop) > 0
+
+
+def test_propagation_fires_both_ways_at_production_threshold():
+    """The production threshold 0.8 (reference models/wesup.py:165,514) must
+    be exercised BOTH ways by TRAINED features in the real jitted step.
+
+    He-init features cluster at similarity ~1.0 and the training dynamics of
+    this tiny problem are chaotic (straddle windows open and close with
+    backend fp noise), so waiting for the raw trajectory to straddle 0.8 is
+    flaky.  Instead: train in-fixture (lr >> reference so the feature
+    GEOMETRY spreads in seconds at tiny shapes), then apply one exact
+    positive-homogeneous calibration — fc3 is linear+relu, so scaling its
+    weight AND bias by s scales every feature by exactly s — with s chosen
+    to land the threshold in the LARGEST RATIO GAP of the candidates'
+    min-distances-to-labeled.  The margin this buys (sims end up ~0.1-0.4
+    away from 0.8 on both sides) makes the branch decision backend-proof:
+    runs on CPU AND TPU, no skip.
+    """
+    import optax
+
+    rng = np.random.default_rng(5)
+    H, W, K = 32, 32, 8
+    img, seg, sup = _make_problem(rng, H, W, K, n_labeled=3)
+    thr, pw, lr = 0.8, 0.5, 5e-3
+
+    params = wesup.init_params(jax.random.PRNGKey(1))
+    tx = optax.chain(optax.add_decayed_weights(1e-3), optax.trace(0.9),
+                     optax.scale(-lr))
+    opt = tx.init(params)
+    stats = superpixel_stats(jnp.asarray(seg[0]), K, jnp.asarray(sup))
+    lab = np.asarray(stats.labeled)
+    cand = ~lab & np.asarray(stats.real)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            out = wesup.forward_superpixel(p, jnp.asarray(img),
+                                           jnp.asarray(seg), K)
+            l = wesup_loss(out.sp_pred[0], out.sp_features[0], stats.labels,
+                           stats.labeled, stats.real, class_weights=None,
+                           propagate_threshold=thr, propagate_weight=pw)
+            return l.loss, l.propagated_labels
+        (_, n_prop), g = jax.value_and_grad(lf, has_aux=True)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, n_prop
+
+    def candidate_sims(params):
+        out = wesup.forward_superpixel(params, jnp.asarray(img),
+                                       jnp.asarray(seg), K)
+        f = np.asarray(out.sp_features[0], np.float64)
+        d2 = ((f[:, None] - f[None, :]) ** 2).sum(-1)
+        return np.exp(-d2)[:, lab].max(1)[cand]
+
+    margin, sims = 0.05, None
+    for _ in range(8):  # up to 400 tiny steps; 200 suffice in practice
+        for _ in range(50):
+            params, opt, _ = step(params, opt)
+        # calibrate: put -ln(thr) at the geometric mean of the largest
+        # adjacent RATIO gap in candidate min-distances
+        dmin = np.sort(-np.log(np.maximum(candidate_sims(params), 1e-300)))
+        ratios = dmin[1:] / np.maximum(dmin[:-1], 1e-30)
+        i = int(np.argmax(ratios))
+        s2 = -np.log(thr) / np.sqrt(dmin[i] * dmin[i + 1])
+        scale = jnp.asarray(np.sqrt(s2), jnp.float32)
+        scaled = dict(params,
+                      fc3={k: v * scale for k, v in params["fc3"].items()})
+        sims = candidate_sims(scaled)
+        if (sims > thr + margin).any() and (sims < thr - margin).any() \
+                and not ((np.abs(sims - thr) < margin).any()):
+            break
+    else:
+        pytest.fail(f"calibrated sims never split {thr}+-{margin}: {sims}")
+
+    # the jitted step's propagation count (computed on the calibrated
+    # params) agrees with the host-side count: the 0.8 branch fired both
+    # ways inside the real train step
+    expect = int((sims > thr).sum())
+    assert 0 < expect < len(sims), sims
+    _, _, n_prop = step(scaled, opt)
+    assert int(n_prop) == expect, (int(n_prop), expect, sims)
 
 
 def test_sgd_trajectory_realistic_size_bf16():

@@ -125,6 +125,14 @@ class WESUPConfig(BaseConfig):
     # round-1 upsample-then-pool path (ablation baseline).
     pooling: str = "adjoint"
 
+    # Affine-warp formulation for train-time augmentation: "cascade"
+    # (default) is the shift-cascade factoring (PERF_NOTES item 14, ~3x
+    # train step; sub-pixel values differ from direct bilinear by one lerp
+    # composition); "exact" is the one-pass map_coordinates warp (gathers,
+    # ~2x slower) kept to quantify that divergence (PERF_NOTES
+    # "augmentation A/B").
+    warp_method: str = "cascade"
+
     # Number of data-parallel shards (<=0 means "all visible devices").
     num_devices: int = 0
 

@@ -121,12 +121,14 @@ def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
             pixel_mask = jnp.where(do_el, el_mask.astype(jnp.int32), pixel_mask)
 
         A = aug.random_affine(k_aff, (H, W), pos_cfg)
-        img = aug.warp(img, A, order=1)
+        warp_fn = (aug.warp_exact if config.warp_method == "exact"
+                   else aug.warp)
+        img = warp_fn(img, A, order=1)
         # mask and valid share the order-0 banded weights (one warp, two
         # channels, per-channel fill) — the weight tensors are the cost
         aux = jnp.stack([pixel_mask.astype(jnp.float32),
                          valid.astype(jnp.float32)], axis=-1)
-        aux = aug.warp(aux, A, order=0, fill=jnp.array([-1.0, 0.0]))
+        aux = warp_fn(aux, A, order=0, fill=jnp.array([-1.0, 0.0]))
         pixel_mask = aux[..., 0].astype(jnp.int32)
         valid = aux[..., 1] > 0.5
         pts_xy = aug.transform_points(pts_xy, A)

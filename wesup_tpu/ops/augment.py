@@ -212,6 +212,40 @@ def warp(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
     return out[..., 0] if squeeze else out
 
 
+def warp_exact(img: jnp.ndarray, A: jnp.ndarray, *, order: int,
+               fill=0.0) -> jnp.ndarray:
+    """Exact ONE-PASS inverse bilinear/nearest warp (ablation reference).
+
+    Samples every destination pixel at its true source position with
+    jax.scipy.ndimage.map_coordinates — no shear factoring, no extra lerp
+    composition.  Lowers to TPU gathers (profiled ~2x the cascade's cost at
+    train shapes, PERF_NOTES item 14), so this exists to QUANTIFY the
+    cascade's statistical divergence (config.warp_method='exact'), not to
+    train fast.
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    H, W = img.shape[:2]
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+
+    Ainv = jnp.linalg.inv(A)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
+    xs = jnp.ones((H, 1), jnp.float32) * jnp.arange(W, dtype=jnp.float32)[None, :]
+    sx = Ainv[0, 0] * xs + Ainv[0, 1] * ys + Ainv[0, 2]
+    sy = Ainv[1, 0] * xs + Ainv[1, 1] * ys + Ainv[1, 2]
+    inb = ((sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1))
+
+    coords = [jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1)]
+    out = jnp.stack([
+        map_coordinates(x[..., c], coords, order=order)
+        for c in range(x.shape[-1])
+    ], axis=-1)
+    fill = jnp.broadcast_to(jnp.asarray(fill, x.dtype), (x.shape[-1],))
+    out = jnp.where(inb[..., None], out, fill)
+    return out[..., 0] if squeeze else out
+
+
 def _shear(img: jnp.ndarray, stride, offs: jnp.ndarray, order: int, *,
            axis: int, range_max: int) -> jnp.ndarray:
     """out[.., t, ..] = img[.., stride*t + offs[r], ..] along ``axis``, where
