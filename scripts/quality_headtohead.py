@@ -41,6 +41,8 @@ sys.path.insert(0, str(REPO / "tests"))
 SP_AREA = 200
 LR, MOMENTUM, WD = 5e-5, 0.9, 1e-3
 THRESHOLD, PROP_WEIGHT = 0.8, 0.5
+CLASS_WEIGHTS = None  # --weighted sets (3, 1), the reference's written
+                      # weights (models/wesup.py:434); both sides use it
 
 
 def load_split(root, split, with_points):
@@ -107,7 +109,7 @@ def make_ours(K):
         def lf(p):
             out = wesup.forward_superpixel(p, img[None], seg[None], K)
             l = wesup_loss(out.sp_pred[0], out.sp_features[0], labels,
-                           labeled, real, class_weights=None,
+                           labeled, real, class_weights=CLASS_WEIGHTS,
                            propagate_threshold=THRESHOLD,
                            propagate_weight=PROP_WEIGHT)
             return l.loss, l.propagated_labels
@@ -155,9 +157,9 @@ def make_torch(params):
         sp_pred, sp_feats = tmodel(tp["xt"], tp["sp_maps"])
         pred_ord, feats_ord = sp_pred[tp["order"]], sp_feats[tp["order"]]
         n_l = len(tp["y_l"])
-        ce = _torch_semi_ce(pred_ord[:n_l], tp["y_l"], None)
+        ce = _torch_semi_ce(pred_ord[:n_l], tp["y_l"], CLASS_WEIGHTS)
         y_u = _torch_propagate(feats_ord.detach(), tp["y_l"], THRESHOLD)
-        pce = _torch_semi_ce(pred_ord[n_l:], y_u, None)
+        pce = _torch_semi_ce(pred_ord[n_l:], y_u, CLASS_WEIGHTS)
         loss = ce + PROP_WEIGHT * pce
         loss.backward()
         opt.step()
@@ -267,7 +269,18 @@ def main():
     ap.add_argument("--n-val", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(96, 128))
     ap.add_argument("--out", default="/tmp/headtohead.json")
+    ap.add_argument("--weighted", action="store_true",
+                    help="use the reference's written (3,1) class weights "
+                         "on BOTH sides (earlier Dice breakthrough)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override SGD lr on BOTH sides")
     args = ap.parse_args()
+
+    global CLASS_WEIGHTS, LR
+    if args.weighted:
+        CLASS_WEIGHTS = (3, 1)
+    if args.lr is not None:
+        LR = args.lr
 
     root = args.root
     if root is None:

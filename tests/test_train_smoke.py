@@ -86,6 +86,35 @@ def test_pluggable_eval_metrics(dataset, tmp_path, monkeypatch):
         bad.train(dataset, epochs=1)
 
 
+def test_default_path_fetches_no_predictions(dataset, tmp_path, monkeypatch):
+    """Regression guard: WITHOUT extra metrics= the val phase must never
+    fetch prediction maps device->host (each fetch is ~30 ms/RPC through the
+    axon tunnel and would serialize the phase); WITH extra metrics the
+    fetches happen once per batch, AFTER the step loop (deferred — see
+    WESUPTrainer._fetch_pred / _run_val_phase)."""
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "g_records"))
+    from wesup_tpu.models import initialize_trainer
+    from wesup_tpu.models.trainer import WESUPTrainer
+
+    calls = []
+    orig = WESUPTrainer._fetch_pred
+    monkeypatch.setattr(WESUPTrainer, "_fetch_pred",
+                        lambda self, pred: calls.append(1) or orig(self, pred))
+
+    trainer = initialize_trainer(
+        "wesup", epochs=1, canvas_size=(48, 64), slic_iters=2,
+        compute_dtype="float32", sp_area=100)
+    trainer.train(dataset, epochs=1)
+    assert calls == [], "default path fetched prediction maps"
+
+    trainer2 = initialize_trainer(
+        "wesup", epochs=1, canvas_size=(48, 64), slic_iters=2,
+        compute_dtype="float32", sp_area=100, metrics=("object_dice",))
+    trainer2.train(dataset, epochs=1)
+    n_val_batches = len(trainer2.dataloaders["val"])
+    assert len(calls) == n_val_batches, (len(calls), n_val_batches)
+
+
 def test_fit_smoke_flag_deletes_record_dir(dataset, tmp_path, monkeypatch):
     """train.py's smoke=True removes the record dir afterwards
     (reference train.py:23-28)."""

@@ -125,6 +125,13 @@ class WESUPConfig(BaseConfig):
     # round-1 upsample-then-pool path (ablation baseline).
     pooling: str = "adjoint"
 
+    # Probability of the coarse-field elastic deformation in the
+    # mask-supervised (SegmentationDataset) augmentation stack; the
+    # point-supervised path never applies elastic (reference
+    # utils/data.py point transforms have no ElasticTransform).  Exposed
+    # for the augmentation-divergence ablation (PERF_NOTES).
+    elastic_p: float = 0.5
+
     # Affine-warp formulation for train-time augmentation: "cascade"
     # (default) is the shift-cascade factoring (PERF_NOTES item 14, ~3x
     # train step; sub-pixel values differ from direct bilinear by one lerp

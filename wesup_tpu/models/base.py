@@ -16,6 +16,7 @@ accepting the reference's torch ``.pth`` files.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from abc import ABC, abstractmethod
 from pathlib import Path
@@ -24,6 +25,65 @@ import numpy as np
 
 from ..utils import record, underline
 from ..utils.history import HistoryTracker
+
+
+class _RecordWorker:
+    """Latest-wins background writer for per-epoch records.
+
+    The reference saves a checkpoint and re-plots learning curves EVERY
+    epoch (models/base.py:219-222, 323-331) — invisible behind its
+    ~10-minute CPU epochs, but on TPU an epoch is ~1 s while this host's
+    disk writes the ~150 MB msgpack at ~8 MB/s (measured 19 s) and a
+    matplotlib render costs ~0.7 s.  Running them inline made the record
+    overhead 15x the compute.
+
+    So each job kind ("ckpt", "plot") has a single LATEST slot: the main
+    thread deposits work and continues; one daemon thread drains slots.
+    If epochs outpace the disk, intermediate checkpoints are simply never
+    written — observationally equivalent to the reference's latest-only
+    retention (it deletes them anyway), except a crash can lose a few
+    epochs of resume progress.  ``flush()`` at the end of training (and at
+    every ``train()`` return) guarantees the FINAL checkpoint and curves
+    are always written.
+    """
+
+    def __init__(self, logger):
+        self.logger = logger
+        self._slots = {}
+        self._cv = threading.Condition()
+        self._busy = False
+        self._thread = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def submit(self, kind, fn):
+        with self._cv:
+            self._slots[kind] = fn
+            self._ensure_thread()
+            self._cv.notify_all()
+
+    def flush(self):
+        with self._cv:
+            self._cv.wait_for(lambda: not self._slots and not self._busy)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                self._cv.wait_for(lambda: self._slots)
+                kind, fn = next(iter(self._slots.items()))
+                del self._slots[kind]
+                self._busy = True
+            try:
+                fn()
+            except Exception as ex:  # a failed plot/write must not kill training
+                self.logger.warning(f"record worker ({kind}): {ex}")
+            finally:
+                with self._cv:
+                    self._busy = False
+                    self._cv.notify_all()
 
 
 class BaseTrainer(ABC):
@@ -42,6 +102,7 @@ class BaseTrainer(ABC):
         self.record_dir = None
         self.tracker = HistoryTracker()
         self.metric_names = ["accuracy", "dice"]
+        self._record_worker = _RecordWorker(self.logger)
 
     # ------------------------------------------------------------------
     # subclass interface
@@ -103,13 +164,21 @@ class BaseTrainer(ABC):
         raise NotImplementedError
 
     def save_checkpoint(self, ckpt_path, **extra):
+        self._write_checkpoint({**self.state_dict(), **extra}, ckpt_path)
+
+    def _write_checkpoint(self, payload, ckpt_path):
+        """Serialize + atomically write one checkpoint, then apply the
+        latest-only retention (delete every older ckpt.*)."""
         import flax.serialization as ser
 
-        payload = {**self.state_dict(), **extra}
         ckpt_path = Path(ckpt_path)
         ckpt_path.parent.mkdir(parents=True, exist_ok=True)
-        with open(ckpt_path, "wb") as fp:
+        tmp = ckpt_path.with_suffix(".tmp")
+        with open(tmp, "wb") as fp:
             fp.write(ser.msgpack_serialize(payload))
+        tmp.replace(ckpt_path)
+        for old in sorted(ckpt_path.parent.glob("ckpt.*"))[:-1]:
+            old.unlink()
 
     # ------------------------------------------------------------------
     # the training loop
@@ -149,13 +218,19 @@ class BaseTrainer(ABC):
             self.post_epoch_hook(epoch)
 
             self.tracker.save()
-            record.plot_learning_curves(self.tracker.save_path)
+            self._record_worker.submit(
+                "plot", lambda p=self.tracker.save_path:
+                record.plot_learning_curves(p))
 
+            # the state fetch must happen HERE (the next epoch's first step
+            # donates these buffers); serialization + the slow disk write
+            # happen on the record worker, latest checkpoint wins
+            state = {**self.state_dict(), "epoch": epoch}
             ckpt_path = self.record_dir / "checkpoints" / f"ckpt.{epoch:04d}.msgpack"
-            self.save_checkpoint(ckpt_path, epoch=epoch)
-            for old in sorted((self.record_dir / "checkpoints").glob("ckpt.*"))[:-1]:
-                old.unlink()
+            self._record_worker.submit(
+                "ckpt", lambda s=state, p=ckpt_path: self._write_checkpoint(s, p))
 
+        self._record_worker.flush()
         self.logger.info(self.tracker.report())
 
     def post_epoch_hook(self, epoch):

@@ -113,8 +113,9 @@ def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
                                            contrast_limit=0.1)
             pos_cfg = aug.PositionConfig(ssr_p=0.8)
         img = aug.random_appearance(k_app, img, app_cfg)
-        if not point_mode:
-            do_el = jax.random.bernoulli(jax.random.fold_in(k_el, 0), 0.5)
+        if not point_mode and config.elastic_p > 0:
+            do_el = jax.random.bernoulli(jax.random.fold_in(k_el, 0),
+                                         config.elastic_p)
             el_img, el_mask = aug.random_elastic(k_el, img,
                                                  pixel_mask.astype(jnp.float32))
             img = jnp.where(do_el, el_img, img)

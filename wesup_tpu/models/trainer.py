@@ -270,34 +270,50 @@ class WESUPTrainer(BaseTrainer):
                 fns.append(fn)
         return fns
 
+    def _fetch_pred(self, pred):
+        """D2H fetch of one batch's prediction map (extra-metrics path ONLY;
+        the default path must never call this per step — guarded by
+        tests/test_train_smoke.py::test_default_path_fetches_no_predictions)."""
+        return np.asarray(pred)
+
     def _run_val_phase(self):
         loader = self.dataloaders["val"]
         spec = loader.spec
         step = self._get_step("eval", (spec.height, spec.width))
         acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
         extra_fns = self._resolve_extra_metric_fns()
-        host_preds, host_targets = [], []
+        pending = []  # (device pred, host batch) — fetched AFTER the loop
         for i, batch in enumerate(loader):
             try:
                 dev_batch = self._put_batch(batch)
                 pred, acc = step(self.params, acc, dev_batch,
                                  self._batch_rng("val", i))
                 if extra_fns:
-                    pred_np = np.asarray(pred)
-                    for b in range(pred_np.shape[0]):
-                        if not batch["sample_valid"][b]:
-                            continue
-                        if not (batch["pixel_mask"][b] >= 0).any():
-                            continue
-                        h = int(batch["valid"][b].any(axis=1).sum())
-                        w = int(batch["valid"][b].any(axis=0).sum())
-                        host_preds.append(
-                            np.round(pred_np[b, :h, :w]).astype(np.int32))
-                        host_targets.append(batch["pixel_mask"][b, :h, :w])
+                    # keep the DEVICE array; fetching here would block this
+                    # host thread on step i's completion (~30 ms/RPC tunnel)
+                    # and serialize compute with transfer.  Deferring lets
+                    # every eval step enqueue first; the fetches below then
+                    # ride behind already-queued compute.
+                    pending.append((pred, batch))
             except RuntimeError as ex:
                 self.logger.exception(ex)
         self._track_acc(acc)
-        if extra_fns and host_preds:
+        if not (extra_fns and pending):
+            return
+        host_preds, host_targets = [], []
+        for pred, batch in pending:
+            pred_np = self._fetch_pred(pred)
+            for b in range(pred_np.shape[0]):
+                if not batch["sample_valid"][b]:
+                    continue
+                if not (batch["pixel_mask"][b] >= 0).any():
+                    continue
+                h = int(batch["valid"][b].any(axis=1).sum())
+                w = int(batch["valid"][b].any(axis=0).sum())
+                host_preds.append(
+                    np.round(pred_np[b, :h, :w]).astype(np.int32))
+                host_targets.append(batch["pixel_mask"][b, :h, :w])
+        if host_preds:
             self.tracker.step(
                 self.evaluate_host(extra_fns, host_preds, host_targets))
 
