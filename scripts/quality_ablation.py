@@ -60,7 +60,8 @@ def run_variant(name, overrides, data_root, epochs, record_root):
 
     os.environ["RECORD_ROOT"] = str(Path(record_root) / name)
     t0 = time.time()
-    trainer = initialize_trainer("wesup", epochs=epochs, seed=0, **overrides)
+    trainer = initialize_trainer("wesup", epochs=epochs, seed=0,
+                                 checkpoint_period=0, **overrides)
     trainer.train(str(data_root), epochs=epochs)
     hist = pd.read_csv(trainer.record_dir / "history.csv")
     dice = hist["val_dice"].to_numpy()

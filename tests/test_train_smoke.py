@@ -115,6 +115,30 @@ def test_default_path_fetches_no_predictions(dataset, tmp_path, monkeypatch):
     assert len(calls) == n_val_batches, (len(calls), n_val_batches)
 
 
+def test_checkpoint_period(dataset, tmp_path, monkeypatch):
+    """checkpoint_period gates per-epoch checkpoint writes: 0 writes none
+    (ablation/benchmark runs on this slow-disk host), N > 1 still writes the
+    final epoch; the default (1) is the reference's per-epoch cadence,
+    asserted by test_fit_smoke above."""
+    monkeypatch.setenv("RECORD_ROOT", str(tmp_path / "cp_records"))
+    from wesup_tpu.models import initialize_trainer
+
+    kw = dict(canvas_size=(48, 64), slic_iters=2, compute_dtype="float32",
+              sp_area=100)
+    t0 = initialize_trainer("wesup", epochs=1, checkpoint_period=0, **kw)
+    t0.train(dataset, epochs=1)
+    assert not (t0.record_dir / "checkpoints").exists() or \
+        not list((t0.record_dir / "checkpoints").glob("ckpt.*"))
+
+    t3 = initialize_trainer("wesup", epochs=3, checkpoint_period=2, **kw)
+    t3.train(dataset, epochs=3)
+    ckpts = sorted(p.name for p in
+                   (t3.record_dir / "checkpoints").glob("ckpt.*"))
+    # epoch 2 (period) may be superseded by the latest-only retention;
+    # the final epoch 3 must exist
+    assert ckpts == ["ckpt.0003.msgpack"], ckpts
+
+
 def test_fit_smoke_flag_deletes_record_dir(dataset, tmp_path, monkeypatch):
     """train.py's smoke=True removes the record dir afterwards
     (reference train.py:23-28)."""

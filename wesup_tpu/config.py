@@ -31,6 +31,13 @@ class BaseConfig:
     # numerical stability term
     epsilon: float = 1e-7
 
+    # Save a checkpoint every N epochs (for N > 0 the final epoch is always
+    # saved).  1 = the reference's per-epoch cadence (models/base.py:219-222);
+    # 0 disables checkpoints entirely (ablation/benchmark runs —
+    # this single-core host writes the ~150 MB msgpack at ~8 MB/s, which
+    # starves the training loop even through the async record worker).
+    checkpoint_period: int = 1
+
     def to_dict(self):
         return dataclasses.asdict(self)
 

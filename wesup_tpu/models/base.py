@@ -225,10 +225,14 @@ class BaseTrainer(ABC):
             # the state fetch must happen HERE (the next epoch's first step
             # donates these buffers); serialization + the slow disk write
             # happen on the record worker, latest checkpoint wins
-            state = {**self.state_dict(), "epoch": epoch}
-            ckpt_path = self.record_dir / "checkpoints" / f"ckpt.{epoch:04d}.msgpack"
-            self._record_worker.submit(
-                "ckpt", lambda s=state, p=ckpt_path: self._write_checkpoint(s, p))
+            period = int(self.kwargs.get("checkpoint_period", 1) or 0)
+            if period and (epoch % period == 0 or epoch == total_epochs):
+                state = {**self.state_dict(), "epoch": epoch}
+                ckpt_path = (self.record_dir / "checkpoints"
+                             / f"ckpt.{epoch:04d}.msgpack")
+                self._record_worker.submit(
+                    "ckpt",
+                    lambda s=state, p=ckpt_path: self._write_checkpoint(s, p))
 
         self._record_worker.flush()
         self.logger.info(self.tracker.report())
