@@ -259,6 +259,72 @@ def run(root, epochs, eval_every, log=print):
     return final, params
 
 
+def run_self_chaos(root, epochs, eval_every, log=print):
+    """Control experiment: the SAME torch replica trained twice, one copy's
+    init scaled by (1 + 1e-7) — a ~1-ulp f32 perturbation.  Any trajectory
+    divergence here is generated by the training dynamics alone (the
+    propagation threshold is a discrete branch; class weights steepen the
+    transition), with zero cross-framework implementation difference.
+    This bounds how much ours-vs-torch divergence the dynamics themselves
+    explain."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    torch.manual_seed(0)
+    from wesup_tpu.models import wesup
+    from wesup_tpu.ops.slic import n_clusters
+
+    train_items = load_split(root, "train", with_points=True)
+    val_items = load_split(root, "val", with_points=False)
+    H, W = train_items[0][0].shape[:2]
+    K = n_clusters(H, W, SP_AREA)
+    log(f"[chaos] {len(train_items)} train / {len(val_items)} val, "
+        f"{H}x{W}, K={K}, weights={CLASS_WEIGHTS}")
+
+    train_probs = prepare_problems(train_items, K)
+    val_probs = prepare_problems(val_items, K)
+
+    params = wesup.init_params(jax.random.PRNGKey(1))
+    paramsB = jax.tree.map(lambda x: x * (1.0 + 1e-7), params)
+    _, prep, stepA, predictA = make_torch(params)
+    _, _, stepB, predictB = make_torch(paramsB)
+    tt = [prep(p, K) for p in train_probs]
+    tv = [prep(p, K) for p in val_probs]
+
+    hist = {"epoch": [], "a_dice": [], "b_dice": [],
+            "a_loss": [], "b_loss": []}
+    t0 = time.time()
+    for epoch in range(1, epochs + 1):
+        la, lb = [], []
+        for tp in tt:
+            la.append(stepA(tp)[0])
+            lb.append(stepB(tp)[0])
+        if epoch % eval_every == 0 or epoch == epochs:
+            da = float(np.mean([
+                dice(np.round(predictA(tp)) > 0, p["mask"] > 0)
+                for p, tp in zip(val_probs, tv)]))
+            db = float(np.mean([
+                dice(np.round(predictB(tp)) > 0, p["mask"] > 0)
+                for p, tp in zip(val_probs, tv)]))
+            hist["epoch"].append(epoch)
+            hist["a_dice"].append(da)
+            hist["b_dice"].append(db)
+            hist["a_loss"].append(float(np.mean(la)))
+            hist["b_loss"].append(float(np.mean(lb)))
+            log(f"[chaos] epoch {epoch:3d}  loss {np.mean(la):.4f}/"
+                f"{np.mean(lb):.4f}  val-dice {da:.4f}/{db:.4f}  "
+                f"({time.time() - t0:.0f}s)")
+    return {
+        "final_a_dice": hist["a_dice"][-1],
+        "final_b_dice": hist["b_dice"][-1],
+        "dice_delta": abs(hist["a_dice"][-1] - hist["b_dice"][-1]),
+        "max_traj_delta": float(max(abs(a - b) for a, b in
+                                    zip(hist["a_dice"], hist["b_dice"]))),
+        "epochs": epochs, "weights": CLASS_WEIGHTS, "history": hist,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=None,
@@ -272,6 +338,9 @@ def main():
     ap.add_argument("--weighted", action="store_true",
                     help="use the reference's written (3,1) class weights "
                          "on BOTH sides (earlier Dice breakthrough)")
+    ap.add_argument("--self-chaos", action="store_true",
+                    help="control: torch replica vs itself with a 1-ulp "
+                         "init perturbation (no cross-framework diff)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override SGD lr on BOTH sides")
     args = ap.parse_args()
@@ -291,6 +360,15 @@ def main():
         root = tempfile.mkdtemp(prefix="h2h_")
         make_dataset(root, n_train=args.n_train, n_val=args.n_val,
                      hw=tuple(args.hw), seed=0)
+
+    if args.self_chaos:
+        final = run_self_chaos(root, args.epochs, args.eval_every)
+        Path(args.out).write_text(json.dumps(final, indent=2))
+        print(f"[chaos] final dice A={final['final_a_dice']:.4f} "
+              f"B={final['final_b_dice']:.4f} "
+              f"delta={final['dice_delta']:.4f} "
+              f"max-traj-delta={final['max_traj_delta']:.4f} -> {args.out}")
+        return
 
     final, _ = run(root, args.epochs, args.eval_every)
     Path(args.out).write_text(json.dumps(final, indent=2))

@@ -126,3 +126,41 @@ def test_paint_match_rule_vs_naive():
         want[pr] = (max(matched, key=lambda t: t[0])[1] if matched
                     else max_id + pid)
     np.testing.assert_array_equal(got, want)
+
+
+def test_make_dataset_hard_mode(tmp_path):
+    """hard=True builds the non-color-separable generator's layout incl.
+    held-out test splits; masks stay binary and points stay in-bounds."""
+    import cv2
+
+    from make_dataset import make_dataset, make_image, make_image_hard
+
+    root = make_dataset(tmp_path / "h", n_train=2, n_val=1, hw=(64, 80),
+                        seed=3, hard=True, n_testA=1, n_testB=1)
+    for split in ("train", "val", "testA", "testB"):
+        assert (root / split / "images").exists(), split
+        assert (root / split / "masks").exists(), split
+    mask = cv2.imread(str(next((root / "testA" / "masks").iterdir())),
+                      cv2.IMREAD_GRAYSCALE)
+    assert set(np.unique(mask)) <= {0, 1}
+    for csv in (root / "train" / "points").iterdir():
+        for line in csv.read_text().splitlines():
+            x, y, c = (int(v) for v in line.split(","))
+            assert 0 <= x < 80 and 0 <= y < 64 and c in (0, 1)
+
+    # the hard generator defeats pure color rules: the best single-channel
+    # threshold Dice sits well below the easy generator's (which is ~1.0)
+    rng = np.random.default_rng(0)
+    def best_thresh_dice(img, m):
+        gt, best = m > 0, 0.0
+        for ch in range(3):
+            for t in range(40, 240, 10):
+                for pred in (img[..., ch] < t, img[..., ch] > t):
+                    tot = pred.sum() + gt.sum()
+                    if tot:
+                        best = max(best, 2 * (pred & gt).sum() / tot)
+        return best
+    hard = best_thresh_dice(*make_image_hard(rng, 128, 160))
+    easy = best_thresh_dice(*make_image(np.random.default_rng(0), 128, 160))
+    assert easy > 0.99, easy
+    assert hard < 0.92, hard
