@@ -64,7 +64,11 @@ def train(root, args):
     from wesup_tpu.models import initialize_trainer
 
     os.environ["RECORD_ROOT"] = str(Path(args.root) / "records")
-    trainer = initialize_trainer("wesup", epochs=args.epochs, seed=0)
+    # only the final checkpoint is needed for the test protocol; per-epoch
+    # 151 MB writes saturate this host's single core/slow disk (PERF_NOTES
+    # item 23), so skip intermediates
+    trainer = initialize_trainer("wesup", epochs=args.epochs, seed=0,
+                                 checkpoint_period=args.epochs)
     trainer.train(str(root), epochs=args.epochs)
     hist = pd.read_csv(trainer.record_dir / "history.csv")
     return trainer.record_dir, float(hist["val_dice"].max()), \
