@@ -279,8 +279,27 @@ def measure_train_step():
 
 
 def main():
+    # The axon tunnel occasionally wedges hard: PJRT client init blocks
+    # forever inside native code (observed 2026-08-17, >2 h), which would
+    # hang this process with no output.  Bound the run: after
+    # WESUP_BENCH_TIMEOUT seconds (default 25 min — a cache-miss compile
+    # is ~8 min, so this only fires on a genuine wedge) abort with a
+    # diagnostic on stderr and a nonzero exit so the caller can retry.
+    import threading
+
+    def _watchdog():
+        log(f"[bench] watchdog: no result after {timeout_s:.0f}s — "
+            "TPU tunnel presumed wedged (PJRT init or RPC stuck); aborting")
+        os._exit(1)
+
+    timeout_s = float(os.environ.get("WESUP_BENCH_TIMEOUT", 1500))
+    timer = threading.Timer(timeout_s, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     baseline = get_cpu_baseline()
     ours, compile_s = measure_tpu()
+    timer.cancel()
     if os.environ.get("WESUP_BENCH_TRAIN"):
         measure_train_step()
     result = {
