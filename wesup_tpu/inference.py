@@ -107,11 +107,10 @@ class Predictor:
                 self.config, content_hw, target_hw, canvas_hw, self.mode)
         return self._scaled_cache[key]
 
-    def predict_padded(self, images_f: np.ndarray) -> np.ndarray:
-        """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability.
-
-        Floats are fed straight through (no uint8 re-quantization; the
-        reference keeps float images after F.interpolate, infer.py:74)."""
+    def dispatch_padded(self, images_f: np.ndarray):
+        """Enqueue a padded forward; returns (device pred, B, h, w) WITHOUT
+        fetching, so callers can keep a chunk in flight (jax dispatch is
+        async — the fetch is the only blocking point)."""
         B, h, w = images_f.shape[:3]
         H, W = _round_up(h), _round_up(w)
         Bp = _round_up(B, self.data_shards)  # pad rows shard the mesh evenly
@@ -126,6 +125,14 @@ class Predictor:
 
         step = self._step((H, W))
         pred = step(self.params, *self._put_batch(canvas, valid))
+        return pred, B, h, w
+
+    def predict_padded(self, images_f: np.ndarray) -> np.ndarray:
+        """(B, h, w, 3) float [0,1] -> (B, h, w) fg probability.
+
+        Floats are fed straight through (no uint8 re-quantization; the
+        reference keeps float images after F.interpolate, infer.py:74)."""
+        pred, B, h, w = self.dispatch_padded(images_f)
         return np.asarray(pred)[:B, :h, :w]
 
 
@@ -263,9 +270,22 @@ def predict_tiled(predictor: Predictor, img_u8: np.ndarray, patch_size: int,
     H0, W0 = img_u8.shape[:2]
     patches = divide_image_to_patches(img_u8, patch_size)
     outs = []
+
+    def drain(pred, n, h, w):
+        prob = np.asarray(pred)[:n, :h, :w]
+        outs.append(np.round(prob) if round_patches else prob)
+
+    # one chunk in flight: chunk i's D2H fetch + rounding overlap chunk
+    # i+1's host prep + upload + device compute (same pattern as
+    # predict_multiscale_batch above)
+    in_flight = None
     for i in range(0, len(patches), chunk):
         block = patches[i:i + chunk].astype(np.float32) / 255.0
-        prob = predictor.predict_padded(block)
-        outs.append(np.round(prob) if round_patches else prob)
+        dispatched = predictor.dispatch_padded(block)
+        if in_flight is not None:
+            drain(*in_flight)
+        in_flight = dispatched
+    if in_flight is not None:
+        drain(*in_flight)
     preds = np.concatenate(outs, axis=0)
     return combine_patches_to_image(preds, H0, W0)
