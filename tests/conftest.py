@@ -29,8 +29,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+# CPU cache entries are host-scoped (stale cross-host CPU AOT executables
+# fatally abort on deserialize — see wesup_tpu.runtime.cache_dir_for)
+from wesup_tpu.runtime import cache_dir_for  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir_for(_platform))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 if _platform != "cpu":

@@ -24,9 +24,9 @@ sys.path.insert(0, str(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+from wesup_tpu.runtime import force_platform, initialize_multihost  # noqa: E402
 
-from wesup_tpu.runtime import initialize_multihost  # noqa: E402
+force_platform("cpu")  # also host-scopes the CPU compilation cache dir
 
 initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
 

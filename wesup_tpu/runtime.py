@@ -11,13 +11,44 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache(cache_dir: str | None = None):
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
+def cache_dir_for(platform: str | None) -> str:
+    """Cache directory for a platform.
+
+    CPU AOT executables embed host target features (avx512 variants,
+    prefer-no-scatter, ...) that the cache key does NOT pin; an entry
+    written on a different host deserializes into cpu_aot_loader errors or
+    a fatal abort mid-run (observed 2026-08-17 after a VM move).  CPU
+    entries are therefore scoped to a host fingerprint; TPU entries are
+    host-independent (the serialized executable targets the chip) and stay
+    in the shared dir.
+    """
+    base = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or "/tmp/jax_comp_cache")
+    if platform != "cpu":
+        return base
+    return f"{base}_cpu_{_host_fingerprint()}"
+
+
+def enable_compilation_cache(cache_dir: str | None = None,
+                             platform: str | None = None):
     """Persistent XLA compilation cache (big win: this host has 1 CPU core,
     cold compiles of the fused train step take minutes)."""
     import jax
 
-    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                 or "/tmp/jax_comp_cache")
+    cache_dir = cache_dir or cache_dir_for(platform)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -30,6 +61,7 @@ def force_platform(platform: str):
     import jax
 
     jax.config.update("jax_platforms", platform)
+    enable_compilation_cache(platform=platform)
 
 
 def configure(platform: str | None = None):
