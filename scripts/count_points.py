@@ -1,16 +1,23 @@
 """Average point count per annotation CSV (parity with reference
-scripts/count_points.py)."""
+scripts/count_points.py — same CLI, same stdout: one float)."""
 
-import argparse
-import glob
-import os
+import sys
+from pathlib import Path
 
-import numpy as np
-import pandas as pd
 
-parser = argparse.ArgumentParser()
-parser.add_argument("points_path", help="Path to point annotations")
-args = parser.parse_args()
+def mean_points(points_dir: str) -> float:
+    counts = [max(sum(1 for _ in f.open()) - 1, 0)
+              for f in sorted(Path(points_dir).glob("*.csv"))]
+    return sum(counts) / len(counts) if counts else float("nan")
 
-print(np.mean([len(pd.read_csv(f))
-               for f in glob.glob(os.path.join(args.points_path, "*.csv"))]))
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1 or argv[0] in ("-h", "--help"):
+        print("usage: count_points.py <points_path>", file=sys.stderr)
+        raise SystemExit(0 if argv and argv[0] in ("-h", "--help") else 2)
+    print(mean_points(argv[0]))
+
+
+if __name__ == "__main__":
+    main()

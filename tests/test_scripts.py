@@ -55,6 +55,21 @@ def test_generate_points_cli_writes_xy_csv(dataset):
         assert mask[int(y), int(x)] == int(cls)
 
 
+def test_count_points_matches_pandas_semantics(dataset, tmp_path):
+    """count_points prints the mean row count per CSV with the reference's
+    pd.read_csv semantics (first line consumed as header)."""
+    pdir = tmp_path / "points"
+    pdir.mkdir()
+    (pdir / "a.csv").write_text("1,2,0\n3,4,1\n")      # pandas: len 1
+    (pdir / "b.csv").write_text("5,6,0\n7,8,1\n9,9,0\n")  # pandas: len 2
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).parent.parent / "scripts" /
+                             "count_points.py"), str(pdir)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert float(out.stdout.strip()) == 1.5
+
+
 def test_generate_area(dataset):
     out = subprocess.run(
         [sys.executable, str(Path(__file__).parent.parent / "scripts" /
