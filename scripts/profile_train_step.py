@@ -1,12 +1,16 @@
-"""Profile the full jitted train step on the TPU and print a per-op table.
+"""Profile the full jitted train or predict step on the TPU, per-op table.
 
-Builds the production train step (augment + SLIC + forward + loss + backward
-+ SGD + metrics) at a given canvas/batch, traces a few steps with
+Builds the production step at a given canvas/batch, traces a few steps with
 ``jax.profiler``, and aggregates device time per op via profile_ops.op_table
 — the tool behind PERF_NOTES' "where the time goes" tables.
 
+Train mode (default): augment + SLIC + forward + loss + backward + SGD +
+metrics.  ``WESUP_PROF_MODE=predict`` profiles the superpixel inference
+step instead (SLIC + forward + paint).  ``WESUP_PROF_SCAN=1`` prints a
+tunnel-proof salted-scan wall time instead of a trace.
+
 Usage:
-    python scripts/profile_train_step.py [B] [H] [W] [top_n]
+    [WESUP_PROF_MODE=predict] python scripts/profile_train_step.py [B] [H] [W] [top_n]
 """
 
 import os
@@ -49,6 +53,14 @@ def main():
     top_n = int(sys.argv[4]) if len(sys.argv) > 4 else 40
 
     import jax
+
+    from wesup_tpu import runtime
+
+    # sitecustomize force-pins jax_platforms to the TPU tunnel; honor an
+    # explicit override (e.g. WESUP_PROF_PLATFORM=cpu for a smoke run)
+    if os.environ.get("WESUP_PROF_PLATFORM"):
+        runtime.force_platform(os.environ["WESUP_PROF_PLATFORM"])
+
     import jax.numpy as jnp
 
     from profile_ops import op_table
@@ -59,12 +71,67 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = WESUPConfig()
     params = wesup.init_params(jax.random.PRNGKey(0))
+    mode = os.environ.get("WESUP_PROF_MODE", "train")
+    key = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(B, H, W).items()}
+
+    if mode == "predict":
+        pstep = steps_mod.make_predict_step(cfg, (H, W), mode="superpixel")
+        image, valid = batch["image"], batch["valid"]
+
+        t0 = time.time()
+        pred = pstep(params, image, valid)
+        jax.block_until_ready(pred)
+        print(f"first call: {time.time() - t0:.1f}s", file=sys.stderr)
+
+        if os.environ.get("WESUP_PROF_SCAN"):
+            import functools
+
+            @functools.partial(jax.jit, static_argnames="n")
+            def repeat(params, image, valid, n):
+                def body(carry, salt):
+                    p = pstep(params, image + salt, valid)
+                    return carry + jnp.sum(p).astype(jnp.float32), None
+                out, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), jnp.arange(n, dtype=jnp.uint8))
+                return out
+
+            def fetch(n):
+                t0 = time.time()
+                np.asarray(repeat(params, image, valid, n))
+                return time.time() - t0
+
+            for n in (2, 8):
+                t0 = time.time()
+                fetch(n)
+                print(f"scan n={n} compile: {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            dts = sorted((fetch(8) - fetch(2)) / 6.0 for _ in range(3))
+            dt = dts[1]
+            print(f"SCAN-TIMED predict step: {dt * 1e3:.1f} ms/step -> "
+                  f"{B / dt:.1f} img/s "
+                  f"(blocks {[f'{d*1e3:.1f}' for d in dts]})")
+            return
+
+        n_traced = int(os.environ.get("WESUP_PROF_STEPS", "2"))
+        logdir = "/tmp/wesup_prof_predict"
+        with jax.profiler.trace(logdir):
+            for _ in range(n_traced):
+                pred = pstep(params, image, valid)
+            jax.block_until_ready(pred)
+        totals = op_table(logdir)
+        grand = sum(totals.values())
+        print(f"PREDICT B={B} {H}x{W}: device total "
+              f"{grand / 1e9 / n_traced:.2f} ms/step ({len(totals)} ops)")
+        for name, ps in totals.most_common(top_n):
+            print(f"{ps / 1e9 / n_traced:8.3f} ms  "
+                  f"{100.0 * ps / grand:5.1f}%  {name[:120]}")
+        return
+
     tx = steps_mod.make_optimizer(cfg)
     opt = tx.init(params)
     step = steps_mod.make_train_step(cfg, (H, W), point_mode=True, tx=tx)
     acc = steps_mod.init_metric_acc()
-    batch = {k: jnp.asarray(v) for k, v in make_batch(B, H, W).items()}
-    key = jax.random.PRNGKey(0)
 
     t0 = time.time()
     params, opt, acc = step(params, opt, acc, batch, key)
