@@ -299,9 +299,10 @@ def main():
 
     baseline = get_cpu_baseline()
     ours, compile_s = measure_tpu()
-    timer.cancel()
     if os.environ.get("WESUP_BENCH_TRAIN"):
+        # still under the watchdog: the tunnel can wedge here too
         measure_train_step()
+    timer.cancel()
     result = {
         "metric": "GlaS 0.5x superpixel inference (SLIC+VGG16+aggregation fused)",
         "value": round(ours, 2),

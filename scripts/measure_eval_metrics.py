@@ -54,35 +54,26 @@ def time_val_phase(root, metrics, eager, repeats=3):
         orig = WESUPTrainer._run_val_phase
 
         def eager_phase(self):
+            # identical to the production _run_val_phase except the fetch
+            # placement: block on each step's result IMMEDIATELY (the naive
+            # implementation), reusing the trainer's own host-eval helper so
+            # the comparison stays apples-to-apples as the trainer evolves
             loader = self.dataloaders["val"]
             spec = loader.spec
             from wesup_tpu.models import steps
             step = self._get_step("eval", (spec.height, spec.width))
             acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
             extra_fns = self._resolve_extra_metric_fns()
-            pending = []
+            host_preds, host_targets = [], []
             for i, batch in enumerate(loader):
                 dev_batch = self._put_batch(batch)
                 pred, acc = step(self.params, acc, dev_batch,
                                  self._batch_rng("val", i))
                 if extra_fns:
-                    pending.append((self._fetch_pred(pred), batch))
+                    self._collect_host_eval(self._fetch_pred(pred), batch,
+                                            host_preds, host_targets)
             self._track_acc(acc)
-            # same host-side evaluation as the production path
-            import numpy as np
-            host_preds, host_targets = [], []
-            for pred_np, batch in pending:
-                for b in range(pred_np.shape[0]):
-                    if not batch["sample_valid"][b]:
-                        continue
-                    if not (batch["pixel_mask"][b] >= 0).any():
-                        continue
-                    h = int(batch["valid"][b].any(axis=1).sum())
-                    w = int(batch["valid"][b].any(axis=0).sum())
-                    host_preds.append(
-                        np.round(pred_np[b, :h, :w]).astype(np.int32))
-                    host_targets.append(batch["pixel_mask"][b, :h, :w])
-            if host_preds and extra_fns:
+            if extra_fns and host_preds:
                 self.tracker.step(
                     self.evaluate_host(extra_fns, host_preds, host_targets))
 

@@ -180,8 +180,9 @@ def dice(pred_bin, gt_bin):
 
 
 def run(root, epochs, eval_every, log=print):
+    from wesup_tpu.runtime import force_platform
+    force_platform("cpu")  # torch parity needs strict f32; also host-scopes the CPU cache
     import jax
-    jax.config.update("jax_platforms", "cpu")  # torch parity needs strict f32
     import jax.numpy as jnp
     import torch
 
@@ -267,8 +268,9 @@ def run_self_chaos(root, epochs, eval_every, log=print):
     transition), with zero cross-framework implementation difference.
     This bounds how much ours-vs-torch divergence the dynamics themselves
     explain."""
+    from wesup_tpu.runtime import force_platform
+    force_platform("cpu")
     import jax
-    jax.config.update("jax_platforms", "cpu")
     import torch
 
     torch.manual_seed(0)

@@ -34,6 +34,14 @@ def dataset(tmp_path_factory):
 
 
 def test_multiepoch_trajectory_matches_torch_replica(dataset):
+    import jax
+
+    if jax.default_backend() != "cpu":
+        # torch-parity must run on CPU (CLAUDE.md): once another backend is
+        # initialized, h2h.run()'s platform switch is a silent no-op
+        # (jax_platforms has no update hook post-init) and the strict-f32
+        # trajectory assertions would compare torch-CPU vs TPU ulp noise
+        pytest.skip("torch-parity head-to-head is CPU-only")
     import quality_headtohead as h2h
 
     final, _ = h2h.run(str(dataset), epochs=12, eval_every=2,

@@ -164,11 +164,16 @@ class BaseTrainer(ABC):
         raise NotImplementedError
 
     def save_checkpoint(self, ckpt_path, **extra):
-        self._write_checkpoint({**self.state_dict(), **extra}, ckpt_path)
+        """Public snapshot API: writes ONE checkpoint, touches nothing else
+        (the latest-only retention is a train-loop policy, not a side effect
+        of every write)."""
+        self._write_checkpoint({**self.state_dict(), **extra}, ckpt_path,
+                               retain_latest_only=False)
 
-    def _write_checkpoint(self, payload, ckpt_path):
-        """Serialize + atomically write one checkpoint, then apply the
-        latest-only retention (delete every older ckpt.*)."""
+    def _write_checkpoint(self, payload, ckpt_path, retain_latest_only=True):
+        """Serialize + atomically write one checkpoint; the train loop also
+        applies the reference's latest-only retention (delete every older
+        ckpt.*, reference models/base.py:323-331)."""
         import flax.serialization as ser
 
         ckpt_path = Path(ckpt_path)
@@ -177,8 +182,9 @@ class BaseTrainer(ABC):
         with open(tmp, "wb") as fp:
             fp.write(ser.msgpack_serialize(payload))
         tmp.replace(ckpt_path)
-        for old in sorted(ckpt_path.parent.glob("ckpt.*"))[:-1]:
-            old.unlink()
+        if retain_latest_only:
+            for old in sorted(ckpt_path.parent.glob("ckpt.*"))[:-1]:
+                old.unlink()
 
     # ------------------------------------------------------------------
     # the training loop

@@ -270,11 +270,41 @@ class WESUPTrainer(BaseTrainer):
                 fns.append(fn)
         return fns
 
+    # device prediction buffers kept in flight on the extra-metrics path:
+    # fetching step i-W only after dispatching step i overlaps every D2H
+    # with queued compute while pinning just W extra maps in HBM
+    _PENDING_WINDOW = 2
+
     def _fetch_pred(self, pred):
         """D2H fetch of one batch's prediction map (extra-metrics path ONLY;
         the default path must never call this per step — guarded by
         tests/test_train_smoke.py::test_default_path_fetches_no_predictions)."""
         return np.asarray(pred)
+
+    def _collect_host_eval(self, pred_np, batch, host_preds, host_targets):
+        """Crop one fetched batch to per-sample valid content for the
+        host-side extra metrics (shared with scripts/measure_eval_metrics)."""
+        for b in range(pred_np.shape[0]):
+            if not batch["sample_valid"][b]:
+                continue
+            if not (batch["pixel_mask"][b] >= 0).any():
+                continue
+            h = int(batch["valid"][b].any(axis=1).sum())
+            w = int(batch["valid"][b].any(axis=0).sum())
+            host_preds.append(
+                np.round(pred_np[b, :h, :w]).astype(np.int32))
+            host_targets.append(batch["pixel_mask"][b, :h, :w])
+
+    def _drain_one(self, pending, host_preds, host_targets):
+        pred, batch = pending.pop(0)
+        try:
+            pred_np = self._fetch_pred(pred)
+        except RuntimeError as ex:
+            # same per-iteration swallow policy as the step loop
+            # (reference models/base.py:234-237)
+            self.logger.exception(ex)
+            return
+        self._collect_host_eval(pred_np, batch, host_preds, host_targets)
 
     def _run_val_phase(self):
         loader = self.dataloaders["val"]
@@ -282,7 +312,8 @@ class WESUPTrainer(BaseTrainer):
         step = self._get_step("eval", (spec.height, spec.width))
         acc = steps.init_metric_acc(steps.EVAL_METRIC_KEYS)
         extra_fns = self._resolve_extra_metric_fns()
-        pending = []  # (device pred, host batch) — fetched AFTER the loop
+        pending = []  # (device pred, host batch) — bounded sliding window
+        host_preds, host_targets = [], []
         for i, batch in enumerate(loader):
             try:
                 dev_batch = self._put_batch(batch)
@@ -291,29 +322,16 @@ class WESUPTrainer(BaseTrainer):
                 if extra_fns:
                     # keep the DEVICE array; fetching here would block this
                     # host thread on step i's completion (~30 ms/RPC tunnel)
-                    # and serialize compute with transfer.  Deferring lets
-                    # every eval step enqueue first; the fetches below then
-                    # ride behind already-queued compute.
+                    # and serialize compute with transfer
                     pending.append((pred, batch))
+                    if len(pending) > self._PENDING_WINDOW:
+                        self._drain_one(pending, host_preds, host_targets)
             except RuntimeError as ex:
                 self.logger.exception(ex)
+        while pending:
+            self._drain_one(pending, host_preds, host_targets)
         self._track_acc(acc)
-        if not (extra_fns and pending):
-            return
-        host_preds, host_targets = [], []
-        for pred, batch in pending:
-            pred_np = self._fetch_pred(pred)
-            for b in range(pred_np.shape[0]):
-                if not batch["sample_valid"][b]:
-                    continue
-                if not (batch["pixel_mask"][b] >= 0).any():
-                    continue
-                h = int(batch["valid"][b].any(axis=1).sum())
-                w = int(batch["valid"][b].any(axis=0).sum())
-                host_preds.append(
-                    np.round(pred_np[b, :h, :w]).astype(np.int32))
-                host_targets.append(batch["pixel_mask"][b, :h, :w])
-        if host_preds:
+        if extra_fns and host_preds:
             self.tracker.step(
                 self.evaluate_host(extra_fns, host_preds, host_targets))
 
