@@ -2,7 +2,10 @@
 
 Usage:
     python train.py /path/to/dataset [model=wesup] [epochs=300] [smoke=True]
-                    [metrics=accuracy,dice,object_dice] ...
+                    [metrics=accuracy,dice,object_dice] [platform=cpu] ...
+
+``platform=`` pins the JAX backend ('axon' = the TPU tunnel, 'cpu'), the
+analogue of the reference's ``device`` option (reference train.py:30).
 
 ``metrics=`` selects evaluation metrics by name (reference train.py:26-27
 passes the function objects [accuracy, dice]; that remains the effective

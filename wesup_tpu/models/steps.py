@@ -19,7 +19,7 @@ import optax
 
 from ..config import WESUPConfig
 from ..ops import augment as aug
-from ..ops.slic import n_clusters, slic
+from ..ops.slic import make_plan, n_clusters, slic
 from ..ops.segments import superpixel_stats
 from ..utils.metrics import device_accuracy, device_dice
 from . import wesup
@@ -163,15 +163,15 @@ def _preprocess_sample(rng, image_u8, valid, pixel_mask, points, point_valid,
 # ---------------------------------------------------------------------------
 
 def _forward_and_loss(params, prep: Preprocessed, K, config: WESUPConfig,
-                      sample_valid):
+                      sample_valid, plan=None):
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
     out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
                                    prep.valid, compute_dtype,
-                                   pooling=config.pooling)
+                                   pooling=config.pooling, plan=plan)
 
     def per_sample(sp_pred, sp_feats, seg_i, sup_i, valid_i):
-        stats = superpixel_stats(seg_i, K, sup_i, valid_i)
+        stats = superpixel_stats(seg_i, K, sup_i, valid_i, plan=plan)
         return wesup_loss(
             sp_pred, sp_feats, stats.labels, stats.labeled, stats.real,
             # reference never applies its class_weights config (its trainer
@@ -235,6 +235,7 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
     """
     H, W = canvas_hw
     K = n_clusters(H, W, config.sp_area)
+    plan = make_plan(H, W, config.sp_area)
 
     pre = functools.partial(_preprocess_sample, config=config, train=True,
                             point_mode=point_mode)
@@ -248,7 +249,7 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
 
         (loss, (out, losses)), grads = jax.value_and_grad(
             _forward_and_loss, has_aux=True)(params, prep, K, config,
-                                             batch["sample_valid"])
+                                             batch["sample_valid"], plan)
 
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -291,6 +292,7 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
 
     if mode == "superpixel":
         K = n_clusters(H, W, config.sp_area)
+        plan = make_plan(H, W, config.sp_area)
 
         def step(params, image, valid):
             img = to_float(image)
@@ -301,7 +303,7 @@ def make_predict_step(config: WESUPConfig, canvas_hw, mode: str) -> callable:
                 update_stride=config.slic_update_stride))(img, valid)
             out = wesup.forward_superpixel(params, img, seg, K, valid,
                                            compute_dtype,
-                                           pooling=config.pooling)
+                                           pooling=config.pooling, plan=plan)
             return out.pred
     elif mode == "pixel":
         def step(params, image, valid):
@@ -351,6 +353,7 @@ def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
 
         if sp_mode:
             K = n_clusters(Hs, Ws, config.sp_area)
+            plan = make_plan(Hs, Ws, config.sp_area)
             seg = jax.vmap(lambda im, v: slic(
                 im, v, sp_area=config.sp_area,
                 compactness=config.sp_compactness,
@@ -358,7 +361,7 @@ def make_scaled_predict_step(config: WESUPConfig, content_hw, target_hw,
                 update_stride=config.slic_update_stride))(scaled, valid)
             out = wesup.forward_superpixel(params, scaled, seg, K, valid,
                                            compute_dtype,
-                                           pooling=config.pooling)
+                                           pooling=config.pooling, plan=plan)
             pred = jnp.round(out.pred[:, :th, :tw])
             # rounded 0/1 predictions travel back through the tunnel as
             # uint8 (4x less transfer than f32)
@@ -376,6 +379,7 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     """Validation/inference step: no augmentation, no gradients."""
     H, W = canvas_hw
     K = n_clusters(H, W, config.sp_area)
+    plan = make_plan(H, W, config.sp_area)
     pre = functools.partial(_preprocess_sample, config=config, train=False,
                             point_mode=False)
 
@@ -389,7 +393,7 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
                          else jnp.float32)
         out = wesup.forward_superpixel(params, prep.image, prep.seg, K,
                                        prep.valid, compute_dtype,
-                                       pooling=config.pooling)
+                                       pooling=config.pooling, plan=plan)
         pred = jnp.round(out.pred).astype(jnp.int32)
         target = prep.target
         mvalid = prep.valid & (target >= 0)

@@ -194,7 +194,8 @@ def _fused_bias(params, w1_blocks):
 def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
                        K: int, valid: jnp.ndarray | None = None,
                        compute_dtype=jnp.float32,
-                       pooling: str = "adjoint") -> SuperpixelForward:
+                       pooling: str = "adjoint",
+                       plan=None) -> SuperpixelForward:
     """Superpixel-wise forward (reference WESUP.forward, models/wesup.py:263-304).
 
     Args:
@@ -206,6 +207,12 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
             to fp reassociation, and the (B, H, W, 1024) full-resolution map
             never exists (~4x less HBM traffic).  'fullres' is the round-1
             upsample-then-pool formulation, kept for ablation.
+        plan: optional ``SlicPlan`` matching ``seg`` (i.e. seg came from
+            ops/slic.py at this shape).  When given, the small-C one-hot
+            consumers — counts and prediction painting — use the exact
+            cell-grid forms (ops/cellgrid.py) instead of re-reading the
+            (B, H, W, K) one-hot, and the unmasked ``oh_raw`` copy is never
+            built.  ``None`` keeps the general path for arbitrary seg.
     """
     if pooling == "fullres":
         return forward_superpixel_fullres(params, img, seg, K, valid,
@@ -216,15 +223,33 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     w1_blocks = _fc1_blocks(params)
     bias = _fused_bias(params, w1_blocks)
 
-    # one-hot assignment, built once: raw for painting, validity-masked for
-    # pooling (gathers profiled 23 ms/step; one-hot matmuls <1 ms)
-    oh_raw = (seg[..., None] == jnp.arange(K, dtype=seg.dtype)
-              ).astype(compute_dtype)                       # (B, H, W, K)
-    if valid is not None:
-        oh = oh_raw * valid[..., None].astype(compute_dtype)
+    if plan is not None and plan.n_clusters != K:
+        raise ValueError(f"plan has {plan.n_clusters} clusters, K={K}")
+
+    # one-hot assignment for the big-C adjoint pooling (gathers profiled
+    # 23 ms/step; one-hot matmuls <1 ms)
+    if plan is None:
+        # raw copy kept for painting, validity-masked for pooling
+        oh_raw = (seg[..., None] == jnp.arange(K, dtype=seg.dtype)
+                  ).astype(compute_dtype)                   # (B, H, W, K)
+        if valid is not None:
+            oh = oh_raw * valid[..., None].astype(compute_dtype)
+        else:
+            oh = oh_raw
+        counts = oh.sum(axis=(1, 2)).astype(jnp.float32)    # (B, K)
     else:
-        oh = oh_raw
-    counts = oh.sum(axis=(1, 2)).astype(jnp.float32)        # (B, K)
+        from ..ops import cellgrid
+
+        cmp = seg[..., None] == jnp.arange(K, dtype=seg.dtype)
+        if valid is not None:
+            cmp = cmp & valid[..., None]
+        oh = cmp.astype(compute_dtype)
+        if valid is None:
+            counts = jax.vmap(
+                lambda s: cellgrid.cell_counts(plan, s))(seg)
+        else:
+            counts = jax.vmap(
+                lambda s, v: cellgrid.cell_counts(plan, s, v))(seg, valid)
 
     # Exact adjoint-pooling identity: for the separable bilinear upsample
     # R = A_h (x) A_w,  sum_{p in k} resize(z_s)(p) = <M_s[..., k], z_s>
@@ -277,8 +302,16 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     pooled = pooled / jnp.maximum(counts[..., None], 1.0)   # (B, K, 1024)
     sp_pred, sp_feats = _mlp_head(params, pooled + bias)
 
-    fg = jnp.einsum("bhwk,bk->bhw", oh_raw,
-                    sp_pred[..., 1].astype(compute_dtype)).astype(jnp.float32)
+    if plan is None:
+        fg = jnp.einsum(
+            "bhwk,bk->bhw", oh_raw,
+            sp_pred[..., 1].astype(compute_dtype)).astype(jnp.float32)
+    else:
+        from ..ops import cellgrid
+
+        vals = sp_pred[..., 1].astype(compute_dtype)
+        fg = jax.vmap(lambda s, v: cellgrid.cell_paint(plan, s, v))(
+            seg, vals).astype(jnp.float32)
     return SuperpixelForward(sp_pred, sp_feats, fg)
 
 

@@ -1,0 +1,129 @@
+"""Cell-grid superpixel aggregation: exact one-hot-free pooling/painting.
+
+The dense (H*W, K) one-hot assignment matrix (ops/segments.py) is the right
+tool when the pooled feature dim C is large — the MXU matmul is compute-bound
+and the one-hot read is amortized.  But at GlaS-0.5x B=8 that tensor is
+~1.1 GB in bf16, and every SMALL-C consumer (pixel counts C=1, prediction
+painting C=1..2, point-label stats C=2..3) that touches it pays a full HBM
+read of it for kilobytes of useful output.
+
+Our SLIC (ops/slic.py) produces assignments with gSLICr structure: cluster
+ids factor as ``cluster = pixel_cell + local_offset`` with the offset in a
+3x3 neighborhood, and the pixel->cell maps are *static* banded 0/1 matrices
+(SlicPlan).  So segment sums can be computed without any K-wide pixel tensor:
+
+    sums[cell + o] = shift_o( bin_cells( [offset == o] * x ) )      (9 terms)
+
+and painting is the transpose: broadcast the (Kh, Kw) cluster grid to pixels
+through the 9 static neighbor-selection matrices and pick each pixel's term
+by its local offset.  Everything is elementwise work plus banded constant
+matmuls on (H, W, 9*C) tensors — for C<=4 that is ~60x less HBM traffic than
+the one-hot path, and EXACT (0/1 weights select single values; integer sums
+accumulate in f32).
+
+These ops require the seg to come from :func:`wesup_tpu.ops.slic.slic` (or
+any assignment with the same cell+offset structure for the given plan);
+arbitrary segmentations must keep using ops/segments.py.
+
+Reference semantics covered: superpixel counts / label vote
+(models/wesup.py:33-52) and prediction painting (models/wesup.py:301-302).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .slic import _OFFSETS, SlicPlan, _bin_cells, _shift_grid, make_plan
+
+__all__ = ["make_plan", "local_offsets", "cell_pool", "cell_counts",
+           "cell_paint"]
+
+
+def local_offsets(plan: SlicPlan, seg: jnp.ndarray) -> jnp.ndarray:
+    """Decode each pixel's 3x3 local-offset index from its cluster id.
+
+    Returns (H, W) int32 in [0, 9): ``(dy+1)*3 + (dx+1)`` where the pixel's
+    cluster is cell ``(cell_y + dy, cell_x + dx)``.  Pure arithmetic on seg
+    (no gathers).  Precondition: ``seg`` was produced by SLIC for this plan,
+    so every offset is in range.
+    """
+    sy = seg // plan.Kw
+    sx = seg - sy * plan.Kw
+    oy = sy - jnp.asarray(plan.cell_y)[:, None]
+    ox = sx - jnp.asarray(plan.cell_x)[None, :]
+    return (oy + 1) * 3 + (ox + 1)
+
+
+def _offset_masks(plan: SlicPlan, seg: jnp.ndarray, valid, dtype):
+    """(H, W, 9) one-hot of the local offset, validity-masked."""
+    o = local_offsets(plan, seg)
+    masks = (o[..., None] == jnp.arange(9, dtype=o.dtype)).astype(dtype)
+    if valid is not None:
+        masks = masks * valid[..., None].astype(dtype)
+    return masks
+
+
+def cell_pool(plan: SlicPlan, seg: jnp.ndarray, x: jnp.ndarray,
+              valid=None) -> jnp.ndarray:
+    """Exact segment-SUM of (H, W, C) features into (K, C), no one-hot.
+
+    Equivalent to ``one_hot_assignment(seg, K, valid).T @ x.reshape(-1, C)``
+    up to fp summation order (bitwise-exact for integer-valued f32 inputs,
+    e.g. point-annotation one-hots).
+    """
+    C = x.shape[-1]
+    masks = _offset_masks(plan, seg, valid, x.dtype)
+    contrib = (masks[..., :, None] * x[..., None, :]).reshape(
+        plan.H, plan.W, 9 * C)
+    cells = _bin_cells(plan, contrib).reshape(plan.Kh, plan.Kw, 9, C)
+    total = jnp.zeros((plan.Kh, plan.Kw, C), cells.dtype)
+    # cluster (i, j) collects cell (i - dy, j - dx) sums for offset (dy, dx)
+    for o, (dy, dx) in enumerate(_OFFSETS):
+        total = total + _shift_grid(cells[:, :, o, :], -dy, -dx)
+    return total.reshape(plan.n_clusters, C)
+
+
+def cell_counts(plan: SlicPlan, seg: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Exact (K,) valid-pixel counts per superpixel (f32, no one-hot).
+
+    Exactness note: the one-hot path sums the assignment matrix in the
+    compute dtype — in bf16 counts above 256 round to even; here partial
+    sums are f32 throughout, so counts are exact integers.
+    """
+    masks = _offset_masks(plan, seg, valid, jnp.float32)
+    cells = _bin_cells(plan, masks)                       # (Kh, Kw, 9) f32
+    total = jnp.zeros((plan.Kh, plan.Kw), jnp.float32)
+    for o, (dy, dx) in enumerate(_OFFSETS):
+        total = total + _shift_grid(cells[:, :, o:o + 1], -dy, -dx)[..., 0]
+    return total.reshape(plan.n_clusters)
+
+
+def cell_paint(plan: SlicPlan, seg: jnp.ndarray,
+               sp_values: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast per-superpixel values (K,) or (K, C) back to pixels.
+
+    Exact transpose of :func:`cell_pool`'s selection: each pixel receives
+    ``sp_values[seg]`` bit-for-bit (0/1 selection matrices copy single grid
+    values; the offset mask picks exactly one of the 9 neighbor broadcasts).
+    Replaces the (H*W, K) paint matmul (~1.1 GB one-hot read at GlaS-0.5x
+    B=8) with two banded matmuls on the (Kh, Kw) grid plus elementwise work.
+    """
+    squeeze = sp_values.ndim == 1
+    vals = sp_values[:, None] if squeeze else sp_values
+    C = vals.shape[-1]
+    grid = vals.reshape(plan.Kh, plan.Kw, C)
+    # stack all 9 shifted cluster grids channel-wise: ONE pair of offset-0
+    # selection matmuls broadcasts them to pixel maps (same pattern as
+    # slic's assign); border zero-fill is unreachable (masks are 0 there)
+    stacked = jnp.concatenate(
+        [_shift_grid(grid, dy, dx) for dy, dx in _OFFSETS], axis=-1)
+    Sr = jnp.asarray(plan.sel_rows[1], vals.dtype)        # (H, Kh), offset 0
+    Sc = jnp.asarray(plan.sel_cols[1], vals.dtype)
+    cmap = jnp.einsum("hk,kwf->hwf", Sr, stacked)
+    cmap = jnp.einsum("wk,hkf->hwf", Sc, cmap)            # (H, W, 9*C)
+    o = local_offsets(plan, seg)
+    out = jnp.zeros((plan.H, plan.W, C), vals.dtype)
+    for idx in range(9):
+        m = (o == idx).astype(vals.dtype)[..., None]
+        out = out + m * cmap[..., idx * C:(idx + 1) * C]
+    return out[..., 0] if squeeze else out

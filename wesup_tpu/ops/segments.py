@@ -37,7 +37,8 @@ def one_hot_assignment(seg: jnp.ndarray, K: int, valid=None,
 
 
 def superpixel_stats(seg: jnp.ndarray, K: int, mask_onehot: jnp.ndarray | None,
-                     valid: jnp.ndarray | None = None) -> SuperpixelStats:
+                     valid: jnp.ndarray | None = None,
+                     plan=None) -> SuperpixelStats:
     """Majority-vote labels per superpixel.
 
     Args:
@@ -45,6 +46,9 @@ def superpixel_stats(seg: jnp.ndarray, K: int, mask_onehot: jnp.ndarray | None,
         mask_onehot: (H, W, C) 0/1 annotation (point or pixel mask), or None
             for "no supervision".
         valid: (H, W) bool canvas-validity mask.
+        plan: optional ``SlicPlan`` matching ``seg``; when given the sums
+            use the exact cell-grid pooling (ops/cellgrid.py) instead of the
+            (HW, K) one-hot — same integer sums, ~60x less HBM traffic.
 
     Matches reference semantics (models/wesup.py:33-52): a superpixel is
     labeled iff it contains any annotated pixel; its label is the class-count
@@ -52,18 +56,30 @@ def superpixel_stats(seg: jnp.ndarray, K: int, mask_onehot: jnp.ndarray | None,
     reference's `(sp_labels == sp_labels.max(...)).float()`).
     """
 
-    oh = one_hot_assignment(seg, K, valid)  # (HW, K)
-    counts = oh.sum(axis=0)  # (K,)
+    C = 0 if mask_onehot is None else mask_onehot.shape[-1]
+    if plan is not None:
+        from .cellgrid import cell_pool
+
+        if plan.n_clusters != K:
+            raise ValueError(f"plan has {plan.n_clusters} clusters, K={K}")
+        H, W = seg.shape
+        ones = jnp.ones((H, W, 1), jnp.float32)
+        x = (ones if mask_onehot is None else
+             jnp.concatenate([mask_onehot.astype(jnp.float32), ones], -1))
+        pooled = cell_pool(plan, seg, x, valid)             # (K, C + 1)
+        sums, counts = pooled[:, :C], pooled[:, C]
+    else:
+        oh = one_hot_assignment(seg, K, valid)  # (HW, K)
+        counts = oh.sum(axis=0)  # (K,)
+        sums = (None if mask_onehot is None else
+                oh.T @ mask_onehot.reshape(-1, C).astype(jnp.float32))
     real = counts > 0
 
     if mask_onehot is None:
-        C = 0
         labels = jnp.zeros((K, 0), jnp.float32)
         labeled = jnp.zeros((K,), bool)
         return SuperpixelStats(labels, labeled, real, counts)
 
-    C = mask_onehot.shape[-1]
-    sums = oh.T @ mask_onehot.reshape(-1, C).astype(jnp.float32)  # (K, C)
     labeled = sums.sum(axis=-1) > 0
     quant = (sums == sums.max(axis=-1, keepdims=True)).astype(jnp.float32)
     labels = quant * labeled[:, None].astype(jnp.float32)
