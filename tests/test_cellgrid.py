@@ -146,3 +146,54 @@ def test_forward_superpixel_plan_matches():
                                np.asarray(b.sp_features), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.pred), np.asarray(b.pred),
                                atol=1e-6)
+
+
+def test_stage_adjoint_weights_match_dense(seg_and_plan):
+    """Local windowed route == A_h^T OH A_w computed densely (f32)."""
+    from wesup_tpu.ops.cellgrid import (make_stage_pool_plan, offset_masks,
+                                        stage_adjoint_weights)
+    from wesup_tpu.ops.resize import _interp_matrix
+
+    seg, valid, plan = seg_and_plan
+    K = plan.n_clusters
+    seg_b = jnp.asarray(seg)[None]
+    valid_b = jnp.asarray(valid)[None]
+    oh = (seg_b[..., None] == jnp.arange(K)).astype(jnp.float32)
+    oh = oh * valid_b[..., None]
+    for Hs, Ws in ((H // 2, W // 2), (H // 8, W // 8), (3, 4)):
+        A_h = jnp.asarray(_interp_matrix(Hs, H, True))    # (H, Hs)
+        A_w = jnp.asarray(_interp_matrix(Ws, W, True))
+        want = jnp.einsum("hp,bhwk->bpwk", A_h, oh)
+        want = jnp.einsum("wq,bpwk->bpqk", A_w, want)     # (1, Hs, Ws, K)
+        e9 = offset_masks(plan, seg_b, valid_b, jnp.float32)
+        spp = make_stage_pool_plan(plan, Hs, Ws, True)
+        got = stage_adjoint_weights(spp, e9)              # (1,Hs,Kh,Ws,Kw)
+        got = jnp.transpose(got, (0, 1, 3, 2, 4)).reshape(1, Hs, Ws, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_forward_superpixel_local_matches_adjoint():
+    from wesup_tpu.models import wesup
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    valid = jnp.asarray(np.pad(np.ones((1, H - 6, W - 9), bool),
+                               ((0, 0), (0, 6), (0, 9))))
+    seg = jax.vmap(lambda im, v: slic(im, v, sp_area=SP_AREA, n_iters=4))(
+        img, valid)
+    K = n_clusters(H, W, SP_AREA)
+    plan = make_plan(H, W, SP_AREA)
+    params = wesup.init_params(jax.random.PRNGKey(1))
+
+    a = jax.jit(lambda p: wesup.forward_superpixel(p, img, seg, K, valid,
+                                                   plan=plan))(params)
+    b = jax.jit(lambda p: wesup.forward_superpixel(p, img, seg, K, valid,
+                                                   pooling="local",
+                                                   plan=plan))(params)
+    np.testing.assert_allclose(np.asarray(a.sp_pred), np.asarray(b.sp_pred),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.sp_features),
+                               np.asarray(b.sp_features), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.pred), np.asarray(b.pred),
+                               atol=2e-5)

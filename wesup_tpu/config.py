@@ -128,8 +128,11 @@ class WESUPConfig(BaseConfig):
 
     # Superpixel pooling formulation: "adjoint" (default) pools every stage
     # at native resolution through adjoint-resized assignment weights (exact
-    # up to fp reassociation, ~4x less HBM traffic); "fullres" is the
-    # round-1 upsample-then-pool path (ablation baseline).
+    # up to fp reassociation, ~4x less HBM traffic); "local" additionally
+    # derives those weights from SLIC's 9-channel offset masks through
+    # banded window constants (ops/cellgrid.py) so neither the stacked
+    # H-adjoint t_cat nor any K-wide full-res read besides stage 0's exists;
+    # "fullres" is the round-1 upsample-then-pool path (ablation baseline).
     pooling: str = "adjoint"
 
     # Probability of the coarse-field elastic deformation in the

@@ -271,30 +271,50 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     ]
     down = [s for s in range(5)
             if tuple(stage_parts[s][0].shape[1:3]) != (H, W)]
+    use_local = pooling == "local"
+    if use_local and plan is None:
+        raise ValueError("pooling='local' requires a SlicPlan")
     t_cat = None
+    e9 = None
     # structural (stage -> column slice) pairing into t_cat, so a reorder or
     # per-stage skip can never silently slice the wrong adjoint block
     stage_Hs = [stage_parts[s][0].shape[1] for s in down]
     t_slices = dict(zip(down, zip(np.cumsum([0] + stage_Hs[:-1]), stage_Hs)))
-    if down:
+    if down and not use_local:
         A_cat = np.concatenate(
             [_interp_matrix(Hs, H, True) for Hs in stage_Hs],
             axis=1)                                      # (H, sum Hs)
         t_cat = jnp.einsum("hu,bhwk->buwk",
                            jnp.asarray(A_cat, compute_dtype), oh)
+    elif down:
+        # 'local' mode: the downsampled stages' adjoint weights come from
+        # the (B, H, W, 9) offset masks via banded window constants —
+        # neither t_cat nor any K-wide full-res read besides stage 0's
+        from ..ops import cellgrid
+
+        e9 = cellgrid.offset_masks(plan, seg, valid, compute_dtype)
 
     pooled = None
     for s in range(5):
         stage_taps, proj = stage_parts[s]
         Hs, Ws = stage_taps.shape[1:3]
         if (Hs, Ws) == (H, W):
-            M = oh
+            sums = jnp.einsum("buvk,buvc->bkc", oh, stage_taps,
+                              preferred_element_type=jnp.float32)
+        elif use_local:
+            from ..ops import cellgrid
+
+            spp = cellgrid.make_stage_pool_plan(plan, Hs, Ws, True)
+            Md = cellgrid.stage_adjoint_weights(spp, e9)  # (B,Hs,Kh,Ws,Kw)
+            sums = jnp.einsum("bpyqx,bpqc->byxc", Md, stage_taps,
+                              preferred_element_type=jnp.float32
+                              ).reshape(B, K, stage_taps.shape[-1])
         else:
             A_w = jnp.asarray(_interp_matrix(Ws, W, True), compute_dtype)
             off, nH = t_slices[s]
             M = jnp.einsum("wv,buwk->buvk", A_w, t_cat[:, off:off + nH])
-        sums = jnp.einsum("buvk,buvc->bkc", M, stage_taps,
-                          preferred_element_type=jnp.float32)
+            sums = jnp.einsum("buvk,buvc->bkc", M, stage_taps,
+                              preferred_element_type=jnp.float32)
         contrib = jnp.einsum("bkc,cd->bkd", sums.astype(compute_dtype), proj,
                              preferred_element_type=jnp.float32)
         pooled = contrib if pooled is None else pooled + contrib

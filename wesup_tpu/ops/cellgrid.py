@@ -31,12 +31,17 @@ Reference semantics covered: superpixel counts / label vote
 
 from __future__ import annotations
 
+
+from typing import NamedTuple
+
 import jax.numpy as jnp
+import numpy as np
 
 from .slic import _OFFSETS, SlicPlan, _bin_cells, _shift_grid, make_plan
 
-__all__ = ["make_plan", "local_offsets", "cell_pool", "cell_counts",
-           "cell_paint"]
+__all__ = ["make_plan", "local_offsets", "offset_masks", "cell_pool",
+           "cell_counts", "cell_paint", "make_stage_pool_plan",
+           "stage_adjoint_weights"]
 
 
 def local_offsets(plan: SlicPlan, seg: jnp.ndarray) -> jnp.ndarray:
@@ -54,13 +59,20 @@ def local_offsets(plan: SlicPlan, seg: jnp.ndarray) -> jnp.ndarray:
     return (oy + 1) * 3 + (ox + 1)
 
 
-def _offset_masks(plan: SlicPlan, seg: jnp.ndarray, valid, dtype):
-    """(H, W, 9) one-hot of the local offset, validity-masked."""
+def offset_masks(plan: SlicPlan, seg: jnp.ndarray, valid, dtype):
+    """(..., H, W, 9) one-hot of the local offset, validity-masked.
+
+    Works on any leading batch dims (``local_offsets`` broadcasts the static
+    cell-index constants over them).
+    """
     o = local_offsets(plan, seg)
     masks = (o[..., None] == jnp.arange(9, dtype=o.dtype)).astype(dtype)
     if valid is not None:
         masks = masks * valid[..., None].astype(dtype)
     return masks
+
+
+_offset_masks = offset_masks  # internal alias
 
 
 def cell_pool(plan: SlicPlan, seg: jnp.ndarray, x: jnp.ndarray,
@@ -127,3 +139,114 @@ def cell_paint(plan: SlicPlan, seg: jnp.ndarray,
         m = (o == idx).astype(vals.dtype)[..., None]
         out = out + m * cmap[..., idx * C:(idx + 1) * C]
     return out[..., 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Local adjoint-pooling weights: M = A_h^T OH A_w without OH or t_cat
+# ---------------------------------------------------------------------------
+#
+# The adjoint pooling in models/wesup.py needs, per downsampled stage, the
+# resized assignment weights M[p, q, k] = sum_{h,w} A_h[h,p] A_w[w,q]
+# oh[h,w,k].  Computing that through the (B, H, W, K) one-hot costs two
+# ~1 GB full-resolution K-wide tensors per step (oh and the stacked H-adjoint
+# t_cat).  But oh factors over the cell grid:
+#
+#     oh[h,w,(ky,kx)] = sum_{t,u} e[h,w,(t,u)] [ky = cell_y(h)+t-1]
+#                                              [kx = cell_x(w)+u-1]
+#
+# with e the 9-channel local-offset one-hot (a (B, H, W, 9) tensor, ~64x
+# smaller than oh).  Because A's bands are narrow, the cluster row ky that a
+# stage row p can receive mass from lies in a small static window around
+# cell_y(anchor(p)) — so both constants fold into banded matrices
+# A_loc[t][h, (p, i)] = A[h, p] * [cell_y(h)+t-1 = window_k(p, i)], and M is
+# nine tiny (B*H, W) x (W, Ws*Jw) matmuls + three (H, Hs*Ih) contractions +
+# two 0/1 window->cluster expansion einsums.  Exact up to fp reassociation.
+
+class StagePoolPlan(NamedTuple):
+    """Static constants mapping 9-channel offset masks to one stage's M."""
+
+    Hs: int
+    Ws: int
+    Ih: int          # cluster-row window width per stage row
+    Jw: int          # cluster-col window width per stage col
+    A_hloc: tuple    # 3 x (H, Hs*Ih) f32, one per row-offset t
+    A_wloc: tuple    # 3 x (W, Ws*Jw) f32, one per col-offset u
+    E_y: np.ndarray  # (Hs, Ih, Kh) 0/1 window -> cluster-row expansion
+    E_x: np.ndarray  # (Ws, Jw, Kw) 0/1 window -> cluster-col expansion
+
+
+def _axis_local(A: np.ndarray, cell: np.ndarray, K: int):
+    """Per-offset local matrices for one axis.
+
+    A: (N_full, N_stage) interpolation matrix (<=2 nonzeros per row).
+    cell: (N_full,) int cell index per full-res position.
+    """
+    n_full, n_stage = A.shape
+    anchor = cell[np.argmax(A, axis=0)]                   # (N_stage,)
+    rows, cols = np.nonzero(A)
+    rel = np.concatenate([cell[rows] + t - 1 - anchor[cols]
+                          for t in range(3)])
+    rmin, rmax = int(rel.min()), int(rel.max())
+    I = rmax - rmin + 1
+    A_loc = np.zeros((3, n_full, n_stage * I), np.float32)
+    for t in range(3):
+        i = cell[rows] + t - 1 - anchor[cols] - rmin
+        A_loc[t, rows, cols * I + i] = A[rows, cols]
+    E = np.zeros((n_stage, I, K), np.float32)
+    for p in range(n_stage):
+        for i in range(I):
+            k = anchor[p] + i + rmin
+            if 0 <= k < K:
+                E[p, i, k] = 1.0
+    return tuple(A_loc), E, I
+
+
+_STAGE_PLAN_CACHE: dict = {}
+
+
+def make_stage_pool_plan(plan: SlicPlan, Hs: int, Ws: int,
+                         align_corners: bool = True) -> StagePoolPlan:
+    """Stage-pool constants for ``plan`` at stage resolution (Hs, Ws).
+
+    Cached on the plan's defining integers (cell vectors are a pure function
+    of (H, Kh) / (W, Kw)).
+    """
+    key = (plan.H, plan.W, plan.Kh, plan.Kw, Hs, Ws, align_corners)
+    spp = _STAGE_PLAN_CACHE.get(key)
+    if spp is None:
+        from .resize import _interp_matrix
+
+        A_hloc, E_y, Ih = _axis_local(
+            _interp_matrix(Hs, plan.H, align_corners), plan.cell_y, plan.Kh)
+        A_wloc, E_x, Jw = _axis_local(
+            _interp_matrix(Ws, plan.W, align_corners), plan.cell_x, plan.Kw)
+        spp = StagePoolPlan(Hs, Ws, Ih, Jw, A_hloc, A_wloc, E_y, E_x)
+        _STAGE_PLAN_CACHE[key] = spp
+    return spp
+
+
+def stage_adjoint_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hs, Kh, Ws, Kw) adjoint pooling weights from (B, H, W, 9) masks.
+
+    Equals ``einsum("hp,wq,bhwk->bpqk", A_h, A_w, one_hot(seg, K))`` (with k
+    split as (ky, kx)) up to fp reassociation; see module notes.  Offsets
+    that would leave the cell grid never fire in SLIC output, so their
+    window entries carry zero mass and the 0/1 expansions discard nothing.
+    """
+    B = e9.shape[0]
+    dt = e9.dtype
+    Mc = None
+    for t in range(3):
+        Gt = None
+        for u in range(3):
+            Awu = jnp.asarray(spp.A_wloc[u], dt)          # (W, Ws*Jw)
+            g = jnp.einsum("bhw,wz->bhz", e9[..., t * 3 + u], Awu)
+            Gt = g if Gt is None else Gt + g
+        Aht = jnp.asarray(spp.A_hloc[t], dt)              # (H, Hs*Ih)
+        m = jnp.einsum("hy,bhz->byz", Aht, Gt)
+        Mc = m if Mc is None else Mc + m
+    Mc = Mc.reshape(B, spp.Hs, spp.Ih, spp.Ws, spp.Jw)
+    Ey = jnp.asarray(spp.E_y, dt)                         # (Hs, Ih, Kh)
+    Ex = jnp.asarray(spp.E_x, dt)                         # (Ws, Jw, Kw)
+    tmp = jnp.einsum("bpiqj,piy->bpyqj", Mc, Ey)
+    return jnp.einsum("bpyqj,qjx->bpyqx", tmp, Ex)
