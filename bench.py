@@ -14,6 +14,7 @@ All progress goes to stderr; stdout carries only the JSON line.
 """
 
 import json
+import dataclasses
 import os
 import sys
 import time
@@ -178,6 +179,9 @@ def measure_tpu():
 
     log(f"[tpu] devices: {jax.devices()}")
     config = WESUPConfig()
+    if os.environ.get("WESUP_BENCH_POOLING"):  # A/B hook: adjoint | local | fullres
+        config = dataclasses.replace(
+            config, pooling=os.environ["WESUP_BENCH_POOLING"])
     params = wesup.init_params(jax.random.PRNGKey(0))
     step = make_predict_step(config, CANVAS, mode="superpixel")
 
@@ -260,6 +264,8 @@ def measure_train_step():
         "sample_valid": jnp.ones((B,), bool),
     }
     cfg = WESUPConfig()
+    if os.environ.get("WESUP_BENCH_POOLING"):  # A/B hook: adjoint | local | fullres
+        cfg = dataclasses.replace(cfg, pooling=os.environ["WESUP_BENCH_POOLING"])
     params = wesup.init_params(jax.random.PRNGKey(0))
     tx = steps_mod.make_optimizer(cfg)
     opt = tx.init(params)

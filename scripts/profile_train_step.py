@@ -13,6 +13,7 @@ Usage:
     [WESUP_PROF_MODE=predict] python scripts/profile_train_step.py [B] [H] [W] [top_n]
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -70,6 +71,8 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = WESUPConfig()
+    if os.environ.get("WESUP_PROF_POOLING"):  # A/B hook: adjoint | local | fullres
+        cfg = dataclasses.replace(cfg, pooling=os.environ["WESUP_PROF_POOLING"])
     params = wesup.init_params(jax.random.PRNGKey(0))
     mode = os.environ.get("WESUP_PROF_MODE", "train")
     key = jax.random.PRNGKey(0)
