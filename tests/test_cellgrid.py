@@ -197,3 +197,39 @@ def test_forward_superpixel_local_matches_adjoint():
                                np.asarray(b.sp_features), atol=2e-4)
     np.testing.assert_allclose(np.asarray(a.pred), np.asarray(b.pred),
                                atol=2e-5)
+
+
+def test_train_step_local_pooling_matches_adjoint():
+    """3 jitted train steps: pooling='local' == 'adjoint' (metrics + params)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as graft
+    from wesup_tpu.config import WESUPConfig
+    from wesup_tpu.models import steps, wesup
+
+    Ht, Wt = 64, 64
+    batch = {k: jnp.asarray(v) for k, v in graft._tiny_batch(2, Ht, Wt).items()}
+    results = {}
+    for pooling in ("adjoint", "local"):
+        cfg = WESUPConfig(slic_iters=2, sp_area=100, compute_dtype="float32",
+                          pooling=pooling)
+        params = wesup.init_params(jax.random.PRNGKey(0))
+        tx = steps.make_optimizer(cfg)
+        opt = tx.init(params)
+        acc = steps.init_metric_acc()
+        step = steps.make_train_step(cfg, (Ht, Wt), point_mode=True, tx=tx)
+        for i in range(3):
+            params, opt, acc = step(params, opt, acc, batch,
+                                    jax.random.PRNGKey(i))
+        results[pooling] = (params, {k: float(v)
+                                     for k, v in acc["sums"].items()})
+    pa, ma = results["adjoint"]
+    pl, ml = results["local"]
+    for k in ma:
+        np.testing.assert_allclose(ml[k], ma[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    for la, ll in zip(jax.tree.leaves(pa), jax.tree.leaves(pl)):
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(la),
+                                   rtol=1e-4, atol=1e-5)
