@@ -76,18 +76,29 @@ _offset_masks = offset_masks  # internal alias
 
 
 def cell_pool(plan: SlicPlan, seg: jnp.ndarray, x: jnp.ndarray,
-              valid=None) -> jnp.ndarray:
+              valid=None, masks: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact segment-SUM of (H, W, C) features into (K, C), no one-hot.
 
     Equivalent to ``one_hot_assignment(seg, K, valid).T @ x.reshape(-1, C)``
     up to fp summation order (bitwise-exact for integer-valued f32 inputs,
-    e.g. point-annotation one-hots).
+    e.g. point-annotation one-hots; both binning contractions accumulate in
+    f32 regardless of ``x``'s dtype).
+
+    ``masks`` optionally supplies precomputed :func:`offset_masks` (already
+    validity-masked) so callers that need them anyway share one build.
     """
     C = x.shape[-1]
-    masks = _offset_masks(plan, seg, valid, x.dtype)
-    contrib = (masks[..., :, None] * x[..., None, :]).reshape(
+    if masks is None:
+        masks = _offset_masks(plan, seg, valid, x.dtype)
+    contrib = (masks[..., :, None].astype(x.dtype) * x[..., None, :]).reshape(
         plan.H, plan.W, 9 * C)
-    cells = _bin_cells(plan, contrib).reshape(plan.Kh, plan.Kw, 9, C)
+    Br = jnp.asarray(plan.bin_rows, x.dtype)              # (Kh, H)
+    Bc = jnp.asarray(plan.bin_cols, x.dtype)              # (Kw, W)
+    rows = jnp.einsum("kh,hwf->kwf", Br, contrib,
+                      preferred_element_type=jnp.float32)
+    cells = jnp.einsum("lw,kwf->klf", Bc.astype(jnp.float32), rows,
+                       preferred_element_type=jnp.float32
+                       ).reshape(plan.Kh, plan.Kw, 9, C)
     total = jnp.zeros((plan.Kh, plan.Kw, C), cells.dtype)
     # cluster (i, j) collects cell (i - dy, j - dx) sums for offset (dy, dx)
     for o, (dy, dx) in enumerate(_OFFSETS):
