@@ -169,6 +169,29 @@ class SuperpixelForward(NamedTuple):
     pred: jnp.ndarray         # (B, H, W) foreground-probability map
 
 
+def _stage0_pallas_ok(plan, batch: int) -> bool:
+    """Use the stage-0 Pallas pooling kernel?  TPU-only (the CPU mesh and
+    virtual-device tests take the XLA one-hot path, whose numerics the
+    kernel matches up to fp reassociation — pinned in
+    tests/test_cellpool_pallas.py), single-process (pallas_call is not
+    SPMD-partitionable across a multi-chip mesh), batch >= 8 (measured
+    crossover, PERF_NOTES stage-0 Pallas entry: the kernel wins ~4-8% at
+    B=8/16 but loses up to 1.7x at B<=4 where the grid can't fill the
+    pipeline), and the plan's canvas must be 8-row divisible.
+    ``WESUP_STAGE0_PALLAS=0`` forces the XLA path for A/B measurement."""
+    import os
+
+    if os.environ.get("WESUP_STAGE0_PALLAS", "1") == "0":
+        return False
+    if plan is None or batch < 8 or jax.default_backend() != "tpu":
+        return False
+    if len(jax.devices()) != 1:
+        return False
+    from ..ops import cellpool_pallas
+
+    return cellpool_pallas.supports(plan)
+
+
 def _stage_taps_and_proj(params, taps, w1_blocks, s, compute_dtype):
     """Concatenated taps of resolution stage ``s`` and the fused
     (side conv x fc1-block) projection for them."""
@@ -226,8 +249,15 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     if plan is not None and plan.n_clusters != K:
         raise ValueError(f"plan has {plan.n_clusters} clusters, K={K}")
 
+    use_local = pooling == "local"
+    if use_local and plan is None:
+        raise ValueError("pooling='local' requires a SlicPlan")
+    use_pallas0 = use_local and _stage0_pallas_ok(plan, B)
+
     # one-hot assignment for the big-C adjoint pooling (gathers profiled
-    # 23 ms/step; one-hot matmuls <1 ms)
+    # 23 ms/step; one-hot matmuls <1 ms).  With the stage-0 Pallas kernel
+    # active it is never built at all ('local' mode's other consumers are
+    # already cell-grid forms).
     if plan is None:
         # raw copy kept for painting, validity-masked for pooling
         oh_raw = (seg[..., None] == jnp.arange(K, dtype=seg.dtype)
@@ -240,10 +270,11 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     else:
         from ..ops import cellgrid
 
-        cmp = seg[..., None] == jnp.arange(K, dtype=seg.dtype)
-        if valid is not None:
-            cmp = cmp & valid[..., None]
-        oh = cmp.astype(compute_dtype)
+        if not use_pallas0:
+            cmp = seg[..., None] == jnp.arange(K, dtype=seg.dtype)
+            if valid is not None:
+                cmp = cmp & valid[..., None]
+            oh = cmp.astype(compute_dtype)
         if valid is None:
             counts = jax.vmap(
                 lambda s: cellgrid.cell_counts(plan, s))(seg)
@@ -271,9 +302,6 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     ]
     down = [s for s in range(5)
             if tuple(stage_parts[s][0].shape[1:3]) != (H, W)]
-    use_local = pooling == "local"
-    if use_local and plan is None:
-        raise ValueError("pooling='local' requires a SlicPlan")
     t_cat = None
     e9 = None
     # structural (stage -> column slice) pairing into t_cat, so a reorder or
@@ -299,8 +327,18 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
         stage_taps, proj = stage_parts[s]
         Hs, Ws = stage_taps.shape[1:3]
         if (Hs, Ws) == (H, W):
-            sums = jnp.einsum("buvk,buvc->bkc", oh, stage_taps,
-                              preferred_element_type=jnp.float32)
+            if use_pallas0:
+                # fused cell-window kernel: no one-hot, ~6x fewer FLOPs
+                # (ops/cellpool_pallas.py); backward is the same one-hot
+                # matmul the XLA path takes
+                from ..ops import cellpool_pallas
+
+                seg_m = (seg if valid is None
+                         else jnp.where(valid, seg, -1))
+                sums = cellpool_pallas.cell_pool0(plan, seg_m, stage_taps)
+            else:
+                sums = jnp.einsum("buvk,buvc->bkc", oh, stage_taps,
+                                  preferred_element_type=jnp.float32)
         elif use_local:
             from ..ops import cellgrid
 
