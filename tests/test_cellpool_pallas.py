@@ -60,28 +60,34 @@ def test_cell_pool0_matches_one_hot(dtype):
     np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max() + 1e-6)
 
 
-def test_cell_pool0_grad_matches_one_hot():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_cell_pool0_grad_matches_one_hot(dtype):
     B, H, W, sp_area = 1, 64, 160, 150
     plan = make_plan(H, W, sp_area)
     K = plan.n_clusters
     seg, valid = _slic_batch(B, H, W, sp_area, seed=3)
     seg_m = jnp.where(valid, seg, -1)
     rng = np.random.default_rng(4)
-    taps = jnp.asarray(rng.standard_normal((B, H, W, 16)), jnp.float32)
+    taps = jnp.asarray(rng.standard_normal((B, H, W, 16)), dtype)
     w = jnp.asarray(rng.standard_normal((K,)), jnp.float32)
 
     def f_kernel(t):
         return jnp.sum(cell_pool0(plan, seg_m, t)[..., 0] * w)
 
     def f_ref(t):
+        # the XLA path's backward: one-hot matmul of the f32 cotangent,
+        # cast to taps' dtype — both sides are pure selections, so the
+        # grads must agree exactly in EITHER dtype
         oh = (seg_m[..., None] == jnp.arange(K, dtype=seg.dtype)
               ).astype(jnp.float32)
-        sums = jnp.einsum("bhwk,bhwc->bkc", oh, t)
+        sums = jnp.einsum("bhwk,bhwc->bkc", oh, t.astype(jnp.float32))
         return jnp.sum(sums[..., 0] * w)
 
     g_kernel = jax.grad(f_kernel)(taps)
     g_ref = jax.grad(f_ref)(taps)
-    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+    assert g_kernel.dtype == dtype
+    np.testing.assert_allclose(np.asarray(g_kernel, np.float32),
+                               np.asarray(g_ref, np.float32),
                                atol=1e-5, rtol=1e-5)
 
 

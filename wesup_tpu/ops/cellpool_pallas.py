@@ -25,9 +25,11 @@ cell row, so the block's one-hot needs only ``n = (span+3)*Kw`` columns
     into (B, K, C) (blocks' windows overlap in k; the einsum adds them).
 
 Exact up to fp reassociation (0/1 weights select single values; the dot
-accumulates in f32).  The custom VJP computes d(taps) with the same
-one-hot matmul XLA uses today (the backward was never the win; the
-forward's one-hot build + K-wide dot was).
+accumulates in f32).  The custom VJP mirrors the structure: d(taps)[p, :]
+= dsums[seg[p], :] is the transposed selection, so the backward kernel
+gathers each block's (n, C) window of dsums (one tiny placement einsum,
+P^T applied per block) and selects rows with the SAME in-VMEM local
+one-hot — no K-wide one-hot is ever built in either direction.
 
 Requires assignments from :func:`wesup_tpu.ops.slic.slic` (the
 cell+offset structure bounds the window); arbitrary seg must keep the
@@ -155,16 +157,69 @@ def _pool0_fwd(key, seg, taps, rows):
     return _pool0_impl(_PLAN_REG[key], seg, taps, rows), res
 
 
+def _bwd_kernel(cyb_ref, seg_ref, win_ref, out_ref, *, n: int, Kw: int):
+    hb = pl.program_id(1)
+    seg = seg_ref[0, 0]                               # (1, L) int32
+    win = win_ref[0, 0]                               # (n, C)
+    dtype = win.dtype
+    precision = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    col = jnp.where(seg >= 0, seg + (1 - cyb_ref[hb]) * Kw, -1)
+    # (1, L) -> (L, 1): in-VMEM int relayout (passing seg pre-shaped
+    # (..., L, 1) instead makes XLA materialize a 128x lane-padded s32
+    # tensor outside — measured 6.9 ms/step of pure padding traffic)
+    colT = jax.lax.transpose(col, (1, 0))
+    ids = jax.lax.broadcasted_iota(jnp.int32, (colT.shape[0], n), 1)
+    oh = (ids == colT).astype(dtype)                  # (L, n)
+    # each oh row has at most one 1 -> pure selection, exact in any dtype
+    # (Mosaic requires a 32-bit matmul accumulator; the f32->bf16 cast of
+    # a selected bf16 value is identity)
+    out_ref[0, 0] = jax.lax.dot_general(
+        oh, win, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_impl(plan: SlicPlan, seg: jnp.ndarray, dsums: jnp.ndarray,
+              rows: int, out_dtype) -> jnp.ndarray:
+    B, H, W = seg.shape
+    C = dsums.shape[-1]
+    cyb, n, P = _constants(plan, rows)
+    nhb = H // rows
+    L = rows * W
+    # per-block (n, C) windows of dsums: win[b,hb,j,:] = dsums[b,P_col(j),:]
+    # (tiny: nhb*n*K*C MACs, ~3 GFLOP at GlaS-0.5x B=8)
+    win = jnp.einsum("hjk,bkc->bhjc", jnp.asarray(P, dsums.dtype), dsums,
+                     preferred_element_type=jnp.float32).astype(out_dtype)
+    seg3 = seg.reshape(B, nhb, 1, L)     # major-dim split, free bitcast
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nhb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, L), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, C), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, L, C), lambda b, h, s: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dtaps = pl.pallas_call(
+        functools.partial(_bwd_kernel, n=n, Kw=plan.Kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nhb, L, C), out_dtype),
+    )(jnp.asarray(cyb), seg3, win)
+    return dtaps.reshape(B, H, W, C)
+
+
 def _pool0_bwd(key, rows, res, dsums):
-    # d(taps)[b,h,w,:] = dsums[b, seg[b,h,w], :] — as a one-hot matmul
-    # (TPU gathers measured 20x slower, PERF_NOTES item 4); this is the
-    # same backward the XLA one-hot path takes today.
+    # d(taps)[b,h,w,:] = dsums[b, seg[b,h,w], :] — the transposed
+    # cell-window selection, as a second Pallas kernel (the XLA one-hot
+    # matmul it replaces profiled 1.2 ms + a 0.7 ms layout copy at B=8
+    # 288x416; TPU gathers are 20x slower still, PERF_NOTES item 4).
     seg, dt_token = res
-    K = _PLAN_REG[key].n_clusters
-    dt = dt_token.dtype
-    oh = (seg[..., None] == jnp.arange(K, dtype=seg.dtype)).astype(dt)
     dseg = np.zeros(seg.shape, dtype=jax.dtypes.float0)
-    return dseg, jnp.einsum("bhwk,bkc->bhwc", oh, dsums.astype(dt))
+    return dseg, _bwd_impl(_PLAN_REG[key], seg, dsums, rows, dt_token.dtype)
 
 
 _pool0.defvjp(_pool0_fwd, _pool0_bwd)
