@@ -46,6 +46,7 @@ POINT_VARIANTS = {
     "baseline": {},
     "warp_exact": {"warp_method": "exact"},
     "slic_stride1": {"slic_update_stride": 1},
+    "slic_stride3": {"slic_update_stride": 3},
 }
 MASK_VARIANTS = {
     "mask_baseline": {"elastic_p": 0.5},

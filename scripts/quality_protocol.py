@@ -67,8 +67,12 @@ def train(root, args):
     # only the final checkpoint is needed for the test protocol; per-epoch
     # 151 MB writes saturate this host's single core/slow disk (PERF_NOTES
     # item 23), so skip intermediates
+    overrides = {}
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        overrides[k] = json.loads(v)
     trainer = initialize_trainer("wesup", epochs=args.epochs, seed=0,
-                                 checkpoint_period=args.epochs)
+                                 checkpoint_period=args.epochs, **overrides)
     trainer.train(str(root), epochs=args.epochs)
     hist = pd.read_csv(trainer.record_dir / "history.csv")
     return trainer.record_dir, float(hist["val_dice"].max()), \
@@ -110,6 +114,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--root", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--set", action="append", default=[],
+                    help="config override, e.g. --set slic_update_stride=3 "
+                         "(value parsed as JSON)")
     args = ap.parse_args()
     variant = "hard" if args.hard else "easy"
     if args.root is None:

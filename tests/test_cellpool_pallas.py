@@ -97,3 +97,54 @@ def test_cell_pool0_rejects_ragged_rows():
     with pytest.raises(ValueError):
         cell_pool0(plan, jnp.zeros((1, 60, 160), jnp.int32),
                    jnp.zeros((1, 60, 160, 8), jnp.float32))
+
+
+def _dense_stage_sums(spp, e9, taps, K):
+    Md = cellgrid.stage_adjoint_weights(spp, e9)
+    B = taps.shape[0]
+    return jnp.einsum("bpyqx,bpqc->byxc", Md, taps,
+                      preferred_element_type=jnp.float32
+                      ).reshape(B, K, taps.shape[-1])
+
+
+@pytest.mark.parametrize("hs_ws", [(32, 80), (30, 77)])  # even and ragged
+def test_cell_pool_stage_matches_dense(hs_ws):
+    from wesup_tpu.ops.cellpool_pallas import cell_pool_stage, supports_stage
+
+    B, H, W, sp_area = 2, 64, 160, 200
+    Hs, Ws = hs_ws
+    plan = make_plan(H, W, sp_area)
+    K = plan.n_clusters
+    seg, valid = _slic_batch(B, H, W, sp_area, seed=7)
+    e9 = cellgrid.offset_masks(plan, seg, valid, jnp.float32)
+    spp = cellgrid.make_stage_pool_plan(plan, Hs, Ws, True)
+    assert supports_stage(plan, spp)
+    rng = np.random.default_rng(8)
+    taps = jnp.asarray(rng.standard_normal((B, Hs, Ws, 24)), jnp.float32)
+
+    got = np.asarray(cell_pool_stage(plan, spp, e9, taps))
+    want = np.asarray(_dense_stage_sums(spp, e9, taps, K))
+    np.testing.assert_allclose(got, want,
+                               atol=1e-4 * max(1.0, np.abs(want).max()))
+
+
+def test_cell_pool_stage_grad_matches_dense():
+    from wesup_tpu.ops.cellpool_pallas import cell_pool_stage
+
+    B, H, W, sp_area = 1, 64, 160, 150
+    Hs, Ws = 32, 80
+    plan = make_plan(H, W, sp_area)
+    K = plan.n_clusters
+    seg, valid = _slic_batch(B, H, W, sp_area, seed=9)
+    e9 = cellgrid.offset_masks(plan, seg, valid, jnp.float32)
+    spp = cellgrid.make_stage_pool_plan(plan, Hs, Ws, True)
+    rng = np.random.default_rng(10)
+    taps = jnp.asarray(rng.standard_normal((B, Hs, Ws, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K,)), jnp.float32)
+
+    g_kernel = jax.grad(lambda t: jnp.sum(
+        cell_pool_stage(plan, spp, e9, t)[..., 0] * w))(taps)
+    g_ref = jax.grad(lambda t: jnp.sum(
+        _dense_stage_sums(spp, e9, t, K)[..., 0] * w))(taps)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-4)

@@ -32,18 +32,24 @@ def _oracle(seg, mask):
 
 
 def test_subsampled_updates_keep_oracle_accuracy():
-    """The production default (config slic_update_stride=2) must stay at
+    """The production default (config slic_update_stride=3) must stay at
     oracle-accuracy parity with the exact full-grid k-means (stride 1)."""
+    from wesup_tpu.config import WESUPConfig
+
+    strides = sorted({2, WESUPConfig().slic_update_stride})
     rng = np.random.default_rng(5)
-    exact, sub = [], []
+    exact = []
+    subs = {s: [] for s in strides}
     for _ in range(3):
         img, mask = make_image(rng, 120, 160)
         f = jnp.asarray(img.astype(np.float32) / 255.0)
         exact.append(_oracle(slic(f, sp_area=200, compactness=40.0), mask))
-        sub.append(_oracle(slic(f, sp_area=200, compactness=40.0,
-                                update_stride=2), mask))
-    assert np.mean(sub) > np.mean(exact) - 0.005, (np.mean(sub),
-                                                   np.mean(exact))
+        for s in strides:
+            subs[s].append(_oracle(slic(f, sp_area=200, compactness=40.0,
+                                        update_stride=s), mask))
+    for s in strides:
+        assert np.mean(subs[s]) > np.mean(exact) - 0.005, (
+            s, np.mean(subs[s]), np.mean(exact))
 
 
 def test_oracle_accuracy_matches_cpu_slic():

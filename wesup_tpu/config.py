@@ -113,10 +113,13 @@ class WESUPConfig(BaseConfig):
 
     # SLIC center-update subsampling stride: the iterative assign/update
     # runs on an (H/s, W/s) strided pixel grid (final assignment is always
-    # full resolution).  2 measured identical to 1 on the oracle-accuracy
-    # probe to 4 decimals while cutting SLIC device time ~4x (PERF_NOTES
-    # 16); set 1 for the exact full-grid k-means.
-    slic_update_stride: int = 2
+    # full resolution).  3 measured within noise of the exact stride-1
+    # k-means on the oracle probe (hard images: 0.98101 vs 0.98153), the
+    # 120-epoch ablation (best Dice -0.0002) and the 250-epoch hard
+    # protocol (test Dice/Object Dice equal-or-better on both splits; see
+    # PERF_NOTES 34 + artifacts/), cutting SLIC device time ~9x vs stride
+    # 1; set 1 for the exact full-grid k-means.
+    slic_update_stride: int = 3
 
     # Static canvas (H, W) that images are padded onto.  ``None`` = derive
     # from the dataset (max image size x max scale, rounded up to x32).

@@ -29,6 +29,7 @@ This cuts fc1 FLOPs ~8x and never materializes the (H*W, 2112) hypercolumn.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple
 
 import jax
@@ -253,6 +254,11 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
     if use_local and plan is None:
         raise ValueError("pooling='local' requires a SlicPlan")
     use_pallas0 = use_local and _stage0_pallas_ok(plan, B)
+    # the downsampled-stage kernel shares the gate; its own env override
+    # (WESUP_STAGE_PALLAS=0/1) allows independent A/B measurement
+    _env_s = os.environ.get("WESUP_STAGE_PALLAS")
+    use_pallas_stage = (use_pallas0 if _env_s is None
+                        else use_local and _env_s == "1")
 
     # one-hot assignment for the big-C adjoint pooling (gathers profiled
     # 23 ms/step; one-hot matmuls <1 ms).  With the stage-0 Pallas kernel
@@ -343,10 +349,21 @@ def forward_superpixel(params: dict, img: jnp.ndarray, seg: jnp.ndarray,
             from ..ops import cellgrid
 
             spp = cellgrid.make_stage_pool_plan(plan, Hs, Ws, True)
-            Md = cellgrid.stage_adjoint_weights(spp, e9)  # (B,Hs,Kh,Ws,Kw)
-            sums = jnp.einsum("bpyqx,bpqc->byxc", Md, stage_taps,
-                              preferred_element_type=jnp.float32
-                              ).reshape(B, K, stage_taps.shape[-1])
+            from ..ops.cellpool_pallas import supports_stage
+
+            if use_pallas_stage and supports_stage(plan, spp):
+                # weighted cell-window kernel: pools straight from the
+                # compact (B,Hs,Ih,Ws,Jw) window weights, never expanding
+                # to (B,Hs,Kh,Ws,Kw) (ops/cellpool_pallas.py)
+                from ..ops import cellpool_pallas
+
+                sums = cellpool_pallas.cell_pool_stage(
+                    plan, spp, e9, stage_taps)
+            else:
+                Md = cellgrid.stage_adjoint_weights(spp, e9)
+                sums = jnp.einsum("bpyqx,bpqc->byxc", Md, stage_taps,
+                                  preferred_element_type=jnp.float32
+                                  ).reshape(B, K, stage_taps.shape[-1])
         else:
             A_w = jnp.asarray(_interp_matrix(Ws, W, True), compute_dtype)
             off, nH = t_slices[s]

@@ -184,6 +184,12 @@ class StagePoolPlan(NamedTuple):
     A_wloc: tuple    # 3 x (W, Ws*Jw) f32, one per col-offset u
     E_y: np.ndarray  # (Hs, Ih, Kh) 0/1 window -> cluster-row expansion
     E_x: np.ndarray  # (Ws, Jw, Kw) 0/1 window -> cluster-col expansion
+    anchor_y: np.ndarray  # (Hs,) cluster-row anchor per stage row
+    anchor_x: np.ndarray  # (Ws,) cluster-col anchor per stage col
+    rmin_y: int      # window offset: cluster row = anchor_y + i + rmin_y
+    rmin_x: int      # window offset: cluster col = anchor_x + j + rmin_x
+    Kh: int
+    Kw: int
 
 
 def _axis_local(A: np.ndarray, cell: np.ndarray, K: int):
@@ -209,7 +215,7 @@ def _axis_local(A: np.ndarray, cell: np.ndarray, K: int):
             k = anchor[p] + i + rmin
             if 0 <= k < K:
                 E[p, i, k] = 1.0
-    return tuple(A_loc), E, I
+    return tuple(A_loc), E, I, anchor.astype(np.int32), rmin
 
 
 _STAGE_PLAN_CACHE: dict = {}
@@ -227,22 +233,24 @@ def make_stage_pool_plan(plan: SlicPlan, Hs: int, Ws: int,
     if spp is None:
         from .resize import _interp_matrix
 
-        A_hloc, E_y, Ih = _axis_local(
+        A_hloc, E_y, Ih, ay, rmy = _axis_local(
             _interp_matrix(Hs, plan.H, align_corners), plan.cell_y, plan.Kh)
-        A_wloc, E_x, Jw = _axis_local(
+        A_wloc, E_x, Jw, ax, rmx = _axis_local(
             _interp_matrix(Ws, plan.W, align_corners), plan.cell_x, plan.Kw)
-        spp = StagePoolPlan(Hs, Ws, Ih, Jw, A_hloc, A_wloc, E_y, E_x)
+        spp = StagePoolPlan(Hs, Ws, Ih, Jw, A_hloc, A_wloc, E_y, E_x,
+                            ay, ax, rmy, rmx, plan.Kh, plan.Kw)
         _STAGE_PLAN_CACHE[key] = spp
     return spp
 
 
-def stage_adjoint_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
-    """(B, Hs, Kh, Ws, Kw) adjoint pooling weights from (B, H, W, 9) masks.
+def stage_window_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hs, Ih, Ws, Jw) pre-expansion window weights from offset masks.
 
-    Equals ``einsum("hp,wq,bhwk->bpqk", A_h, A_w, one_hot(seg, K))`` (with k
-    split as (ky, kx)) up to fp reassociation; see module notes.  Offsets
-    that would leave the cell grid never fire in SLIC output, so their
-    window entries carry zero mass and the 0/1 expansions discard nothing.
+    The compact form of the stage's adjoint pooling weights: entry
+    (p, i, q, j) is the mass stage pixel (p, q) sends to cluster
+    (anchor_y[p] + i + rmin_y, anchor_x[q] + j + rmin_x); the 0/1
+    expansions E_y/E_x (or the equivalent Pallas placement) turn it into
+    the (B, Hs, Kh, Ws, Kw) form.
     """
     B = e9.shape[0]
     dt = e9.dtype
@@ -256,7 +264,19 @@ def stage_adjoint_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
         Aht = jnp.asarray(spp.A_hloc[t], dt)              # (H, Hs*Ih)
         m = jnp.einsum("hy,bhz->byz", Aht, Gt)
         Mc = m if Mc is None else Mc + m
-    Mc = Mc.reshape(B, spp.Hs, spp.Ih, spp.Ws, spp.Jw)
+    return Mc.reshape(B, spp.Hs, spp.Ih, spp.Ws, spp.Jw)
+
+
+def stage_adjoint_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hs, Kh, Ws, Kw) adjoint pooling weights from (B, H, W, 9) masks.
+
+    Equals ``einsum("hp,wq,bhwk->bpqk", A_h, A_w, one_hot(seg, K))`` (with k
+    split as (ky, kx)) up to fp reassociation; see module notes.  Offsets
+    that would leave the cell grid never fire in SLIC output, so their
+    window entries carry zero mass and the 0/1 expansions discard nothing.
+    """
+    dt = e9.dtype
+    Mc = stage_window_weights(spp, e9)
     Ey = jnp.asarray(spp.E_y, dt)                         # (Hs, Ih, Kh)
     Ex = jnp.asarray(spp.E_x, dt)                         # (Ws, Jw, Kw)
     tmp = jnp.einsum("bpiqj,piy->bpyqj", Mc, Ey)
