@@ -388,6 +388,8 @@ def _stage_kernel(colbase_ref, mc_ref, taps_ref, out_ref, *,
     # ONE (n, L) relative-offset tensor, then scalar compares per (i, j):
     # computing col0 + off inside the loop materializes Ih*Jw i32 copies
     # of the full tile (measured 25x -> scoped-VMEM OOM at stage 1)
+    # (int16 rel would halve the compare width, but v5e Mosaic rejects
+    # 16-bit integer comparisons: "Target does not support this comparison")
     rel = ids - col0
     W = jnp.zeros(ids.shape, dtype)
     for i in range(Ih):
