@@ -1,6 +1,12 @@
-"""Fused full-resolution superpixel pooling as a Pallas TPU kernel.
+"""Superpixel pooling as Pallas TPU cell-window kernels.
 
-Computes stage 0's segment sums (reference semantics: the superpixel
+Two kernels share the same structure (per-(batch, row-block) grid, local
+window weights built in VMEM, one MXU dot, static placement einsum):
+:func:`cell_pool0` for the full-resolution stage's one-hot segment sums,
+and :func:`cell_pool_stage` (second section below) for the downsampled
+stages' real-valued adjoint window weights.
+
+cell_pool0 computes stage 0's segment sums (reference semantics: the superpixel
 feature-averaging matmul, models/wesup.py:284-285, for the stage that needs
 no resize):
 
