@@ -70,13 +70,20 @@ def test_record_dir_layout(tmp_path, monkeypatch):
 
 
 def test_plot_learning_curves(tmp_path):
+    """Emitted PNG set matches the reference's plot loop exactly for a
+    representative history: every non-val_ column gets <col>.png ('lr'
+    included — reference utils/record.py:80-107 draws the lr line before its
+    val_lr KeyError is swallowed), and a val-only column gets val_<col>.png."""
     path = tmp_path / "history.csv"
+    cols = ["accuracy", "loss", "val_accuracy", "val_object_dice", "lr"]
     with open(path, "w") as fp:
         w = csv.writer(fp)
-        w.writerow(["accuracy", "loss", "val_accuracy", "lr"])
+        w.writerow(cols)
         for i in range(3):
-            w.writerow([0.5 + 0.1 * i, 1.0 - 0.2 * i, 0.4 + 0.1 * i, 5e-5])
+            w.writerow([0.5 + 0.1 * i, 1.0 - 0.2 * i, 0.4 + 0.1 * i,
+                        0.3 + 0.1 * i, 5e-5])
     record.plot_learning_curves(path)
-    curves = sorted((tmp_path / "curves").glob("*.png"))
-    names = [c.stem for c in curves]
-    assert "accuracy" in names and "loss" in names
+    names = {c.name for c in (tmp_path / "curves").glob("*.png")}
+    # the reference loop over these columns saves exactly these files
+    assert names == {"accuracy.png", "loss.png", "val_object_dice.png",
+                     "lr.png"}

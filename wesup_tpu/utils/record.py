@@ -57,12 +57,15 @@ def _curve_specs(columns):
 
     A train-phase column ``m`` yields ``m.png`` with Train(+Val) series; a
     validation-only column ``val_m`` yields ``val_m.png`` with its single
-    series (same files the reference emits, utils/record.py:81-107)."""
+    series (same files the reference emits, utils/record.py:81-107).  The
+    ``lr`` column is NOT special-cased: the reference's loop plots it too
+    (its ``val_lr`` KeyError fires after the lr line is already drawn and is
+    swallowed), so a record dir contains ``lr.png`` with a single series and
+    the usual two-label legend (matplotlib applies 'Train' to the one line,
+    exactly as the reference renders it)."""
     cols = set(columns)
     specs = []
     for key in columns:
-        if key == "lr":
-            continue
         if key.startswith("val_"):
             metric = key[len("val_"):]
             if metric not in cols:  # metric computed only on the val phase
