@@ -75,3 +75,36 @@ def test_tp_predict_equals_replicated(tmp_path_factory):
     p2 = t2.predict_probs(img)
     assert p1.shape == p2.shape == (45, 61)
     np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+
+
+def test_tp_pixel_forward_equals_replicated():
+    """forward_pixel under model_parallel=2 — the path where TP actually
+    pays (reference WESUPPixelInference runs fc2 on EVERY pixel,
+    models/wesup.py:382-400) — equals the replicated output to psum
+    reassociation tolerance, with fc1/fc2 genuinely sharded over 'model'."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from wesup_tpu.config import WESUPConfig
+    from wesup_tpu.inference import Predictor
+    from wesup_tpu.models import wesup
+    from wesup_tpu.parallel import make_mesh
+
+    config = WESUPConfig(compute_dtype="float32")
+    params = wesup.init_params(jax.random.PRNGKey(3))
+    mesh = make_mesh(8, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    solo = Predictor(params, config, mode="pixel")
+    tp = Predictor(params, config, mode="pixel", mesh=mesh)
+    # inference placement must PRESERVE tensor parallelism, not re-replicate
+    assert tuple(tp.params["fc1"]["w"].sharding.spec) == (None, "model")
+    assert tuple(tp.params["fc2"]["w"].sharding.spec) == ("model", None)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 96, 128, 3)).astype(np.float32)
+    p1 = solo.predict_padded(imgs)
+    p2 = tp.predict_padded(imgs)
+    assert p1.shape == p2.shape == (2, 96, 128)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)

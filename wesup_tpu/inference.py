@@ -73,11 +73,16 @@ class Predictor:
         self._scaled_cache = {}
         if mesh is not None:
             import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import param_sharding
 
-            rep = NamedSharding(mesh, P())
+            # param_sharding keeps everything replicated on a pure-'data'
+            # mesh and tensor-parallelizes fc1/fc2 when the mesh has a
+            # 'model' axis > 1 — the pixel head's (HW, 1024) matmuls are
+            # where TP pays (mesh.py:9-15), so inference must not silently
+            # re-replicate a trainer's TP-sharded params
+            pspec = param_sharding(mesh, params)
             self.params = jax.tree.map(
-                lambda x: jax.device_put(x, rep), params)
+                lambda x, s: jax.device_put(x, s), params, pspec)
 
     @property
     def data_shards(self) -> int:
