@@ -6,8 +6,11 @@ Builds the production step at a given canvas/batch, traces a few steps with
 
 Train mode (default): augment + SLIC + forward + loss + backward + SGD +
 metrics.  ``WESUP_PROF_MODE=predict`` profiles the superpixel inference
-step instead (SLIC + forward + paint).  ``WESUP_PROF_SCAN=1`` prints a
-tunnel-proof salted-scan wall time instead of a trace.
+step instead (SLIC + forward + paint); ``WESUP_PROF_MODE=pixel`` profiles
+the pixel-wise inference step (hypercolumn + per-pixel MLP, the CRAG
+whole-slide protocol's unit of work — reference models/wesup.py:382-400).
+``WESUP_PROF_SCAN=1`` prints a tunnel-proof salted-scan wall time instead
+of a trace.
 
 Usage:
     [WESUP_PROF_MODE=predict] python scripts/profile_train_step.py [B] [H] [W] [top_n]
@@ -78,8 +81,9 @@ def main():
     key = jax.random.PRNGKey(0)
     batch = {k: jnp.asarray(v) for k, v in make_batch(B, H, W).items()}
 
-    if mode == "predict":
-        pstep = steps_mod.make_predict_step(cfg, (H, W), mode="superpixel")
+    if mode in ("predict", "pixel"):
+        pstep = steps_mod.make_predict_step(
+            cfg, (H, W), mode="superpixel" if mode == "predict" else "pixel")
         image, valid = batch["image"], batch["valid"]
 
         t0 = time.time()
@@ -111,20 +115,20 @@ def main():
                       file=sys.stderr)
             dts = sorted((fetch(8) - fetch(2)) / 6.0 for _ in range(3))
             dt = dts[1]
-            print(f"SCAN-TIMED predict step: {dt * 1e3:.1f} ms/step -> "
+            print(f"SCAN-TIMED {mode} step: {dt * 1e3:.1f} ms/step -> "
                   f"{B / dt:.1f} img/s "
                   f"(blocks {[f'{d*1e3:.1f}' for d in dts]})")
             return
 
         n_traced = int(os.environ.get("WESUP_PROF_STEPS", "2"))
-        logdir = "/tmp/wesup_prof_predict"
+        logdir = f"/tmp/wesup_prof_{mode}"
         with jax.profiler.trace(logdir):
             for _ in range(n_traced):
                 pred = pstep(params, image, valid)
             jax.block_until_ready(pred)
         totals = op_table(logdir)
         grand = sum(totals.values())
-        print(f"PREDICT B={B} {H}x{W}: device total "
+        print(f"{mode.upper()} B={B} {H}x{W}: device total "
               f"{grand / 1e9 / n_traced:.2f} ms/step ({len(totals)} ops)")
         for name, ps in totals.most_common(top_n):
             print(f"{ps / 1e9 / n_traced:8.3f} ms  "
