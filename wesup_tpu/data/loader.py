@@ -97,6 +97,11 @@ def place_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
     return {
         "image": canvas,
         "valid": valid,
+        # content extents (h, w): valid is by construction the top-left
+        # rectangle they describe, so only these 8 bytes need to travel to
+        # the device (trainer._put_batch strips the bool mask from the wire
+        # and the step rebuilds it — the tunnel is bandwidth-bound)
+        "content_hw": np.array([h, w], np.int32),
         "pixel_mask": pixel_mask,
         "points": points,
         "point_valid": point_valid,
@@ -110,6 +115,7 @@ def _blank_item(spec: CanvasSpec) -> dict:
     return {
         "image": np.zeros((spec.height, spec.width, 3), np.uint8),
         "valid": np.zeros((spec.height, spec.width), bool),
+        "content_hw": np.zeros((2,), np.int32),
         "pixel_mask": np.full((spec.height, spec.width), -1, np.int32),
         "points": np.zeros((spec.max_points, 3), np.int32),
         "point_valid": np.zeros((spec.max_points,), bool),

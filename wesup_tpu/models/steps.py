@@ -196,6 +196,26 @@ TRAIN_METRIC_KEYS = ("loss", "accuracy", "dice", "labeled_sp_ratio",
 EVAL_METRIC_KEYS = ("accuracy", "dice")
 
 
+def _batch_valid_and_mask(batch, H, W):
+    """(valid, pixel_mask) from a batch in either wire format.
+
+    The trainer's H2D path sends per-sample (h, w) content extents instead
+    of the (B, H, W) bool mask (the mask is always a top-left rectangle —
+    loader.place_on_canvas) and pixel_mask as int8: the axon tunnel is
+    bandwidth-bound at ~90 MB/s, so halving wire bytes halves transfer wall
+    (PERF_NOTES round-4 epoch entry).  Direct callers (bench, graft entry,
+    tests) may still pass the explicit mask.
+    """
+    if "content_hw" in batch:
+        hs = batch["content_hw"][:, 0]
+        ws = batch["content_hw"][:, 1]
+        valid = ((jnp.arange(H)[None, :, None] < hs[:, None, None]) &
+                 (jnp.arange(W)[None, None, :] < ws[:, None, None]))
+    else:
+        valid = batch["valid"]
+    return valid, batch["pixel_mask"].astype(jnp.int32)
+
+
 def init_metric_acc(keys=TRAIN_METRIC_KEYS):
     """On-device metric accumulator: per-metric (sum, count) + NaN flag.
 
@@ -243,8 +263,9 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
     def step(params, opt_state, acc, batch, rng):
         B = batch["image"].shape[0]
         rngs = jax.random.split(rng, B)
-        prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
-                             batch["pixel_mask"], batch["points"],
+        valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
+        prep = jax.vmap(pre)(rngs, batch["image"], valid,
+                             pixel_mask, batch["points"],
                              batch["point_valid"], batch["use_mask_as_points"])
 
         (loss, (out, losses)), grads = jax.value_and_grad(
@@ -386,8 +407,9 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     def step(params, acc, batch, rng):
         B = batch["image"].shape[0]
         rngs = jax.random.split(rng, B)
-        prep = jax.vmap(pre)(rngs, batch["image"], batch["valid"],
-                             batch["pixel_mask"], batch["points"],
+        valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
+        prep = jax.vmap(pre)(rngs, batch["image"], valid,
+                             pixel_mask, batch["points"],
                              batch["point_valid"], batch["use_mask_as_points"])
         compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                          else jnp.float32)

@@ -175,6 +175,13 @@ class WESUPTrainer(BaseTrainer):
         e.g. the val loader's batch count changes with the mesh's data-shard
         count, and chaining would shift every later epoch's augmentation.
         Also makes resume exactly reproduce the original epoch keys.
+
+        Derivation stays on the default (TPU) backend: the three chained
+        fold_ins pipeline to ~10 ms and run on the staging thread, overlapped
+        with device compute.  (Deriving on the XLA:CPU backend instead was
+        measured at ~80 ms/batch on this single-core host — a per-call
+        recompile-grade cost — and regressed the epoch wall ~2x; PERF_NOTES
+        round-4 epoch entry.)
         """
         key = jax.random.fold_in(self._rng, self._epoch_idx)
         key = jax.random.fold_in(key, 0 if phase == "train" else 1)
@@ -185,9 +192,77 @@ class WESUPTrainer(BaseTrainer):
         B = batch["image"].shape[0]
         if B % self.mesh.shape.get("data", 1) != 0:
             sh = replicated_sharding(self.mesh)
-        # one transfer for the whole pytree (per-array RPCs are ~30ms each
-        # through the axon tunnel)
-        return jax.device_put(batch, sh)
+        # ONE device_put of the whole pytree with ONE sharding (the batched
+        # transfer path — a pytree of per-leaf shardings or per-array puts
+        # costs one ~25 ms tunnel RPC per leaf), with the wire bytes cut to
+        # the minimum: the (B, H, W) bool validity mask is always a stack of
+        # top-left content rectangles (loader.place_on_canvas), so only the
+        # (B, 2) extents travel and the step rebuilds the mask on device;
+        # pixel_mask travels as int8 (-1 or a class index < 128).  Measured
+        # tunnel H2D is bandwidth-bound at ~90 MB/s, so bytes ARE seconds:
+        # 4.6 -> 2.3 MB per B=8 224x320 batch (PERF_NOTES round-4).
+        wire = {k: v for k, v in batch.items() if k != "valid"}
+        if "content_hw" not in wire:
+            wire["content_hw"] = np.stack(
+                [batch["valid"].any(axis=2).sum(axis=1).astype(np.int32),
+                 batch["valid"].any(axis=1).sum(axis=1).astype(np.int32)],
+                axis=-1)
+        pm = batch["pixel_mask"]
+        if pm.dtype != np.int8 and -128 <= pm.min() and pm.max() <= 127:
+            # lossless downcast only: a mask with class values > 127 (e.g.
+            # raw 0/255 masks, which the reference would also treat as class
+            # 255) keeps its dtype rather than silently wrapping
+            wire["pixel_mask"] = pm.astype(np.int8)
+        return jax.device_put(wire, sh)
+
+    # staged H2D depth: the upload of batches i+1..i+depth overlaps step i's
+    # device compute; 2 keeps one full batch of slack without pinning more
+    # than ~2 canvas batches of extra HBM
+    _STAGE_DEPTH = 2
+
+    def _staged_batches(self, loader, phase: str):
+        """Iterate (host_batch, dev_batch, dev_rng) with the H2D transfer and
+        rng derivation PIPELINED on a staging thread, ``_STAGE_DEPTH``
+        batches in flight.
+
+        The reference hides host prep behind DataLoader worker processes
+        (models/base.py:288-300); this single-core host instead overlaps the
+        two host costs that serialized with device compute — device_put
+        (tunnel RPC + transfer) and PRNG derivation — with the current
+        step's execution.  Transfer errors follow the same per-iteration
+        RuntimeError swallow policy as step errors (models/base.py:234-237).
+        """
+        import queue
+
+        q: queue.Queue = queue.Queue(maxsize=self._STAGE_DEPTH)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for i, batch in enumerate(loader):
+                    try:
+                        rng = self._batch_rng(phase, i)
+                        dev_batch = self._put_batch(batch)
+                    except RuntimeError as ex:
+                        self.logger.exception(ex)
+                        continue
+                    q.put((batch, dev_batch, rng))
+            except BaseException as ex:  # loader errors surface to the consumer
+                q.put(ex)
+            finally:
+                q.put(SENTINEL)
+
+        import threading
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     # ------------------------------------------------------------------
     # epoch loop
@@ -232,14 +307,12 @@ class WESUPTrainer(BaseTrainer):
         # mid-epoch, models/base.py:202-203 -- observationally equivalent
         # since the epoch's history would be discarded either way)
         acc = steps.init_metric_acc(steps.TRAIN_METRIC_KEYS)
-        for i, batch in enumerate(loader):
+        for batch, dev_batch, rng in self._staged_batches(loader, "train"):
             try:
                 hw = batch["image"].shape[1:3]
                 step = self._get_step("train", (int(hw[0]), int(hw[1])))
-                dev_batch = self._put_batch(batch)
                 self.params, self.opt_state, acc = step(
-                    self.params, self.opt_state, acc, dev_batch,
-                    self._batch_rng("train", i))
+                    self.params, self.opt_state, acc, dev_batch, rng)
             except RuntimeError as ex:  # parity: swallow per-iteration errors
                 self.logger.exception(ex)
         self._track_acc(acc)
@@ -314,11 +387,9 @@ class WESUPTrainer(BaseTrainer):
         extra_fns = self._resolve_extra_metric_fns()
         pending = []  # (device pred, host batch) — bounded sliding window
         host_preds, host_targets = [], []
-        for i, batch in enumerate(loader):
+        for batch, dev_batch, rng in self._staged_batches(loader, "val"):
             try:
-                dev_batch = self._put_batch(batch)
-                pred, acc = step(self.params, acc, dev_batch,
-                                 self._batch_rng("val", i))
+                pred, acc = step(self.params, acc, dev_batch, rng)
                 if extra_fns:
                     # keep the DEVICE array; fetching here would block this
                     # host thread on step i's completion (~30 ms/RPC tunnel)
