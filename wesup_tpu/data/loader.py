@@ -81,9 +81,22 @@ def place_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
     valid = np.zeros((H, W), bool)
     valid[:h, :w] = True
 
-    pixel_mask = np.full((H, W), -1, np.int32)
-    if sample.get("pixel_mask") is not None:
-        pixel_mask[:h, :w] = sample["pixel_mask"]
+    # masks are class indices (< 128 for every supported dataset), so they
+    # are BORN int8 here: the wire format ships int8 (the tunnel is
+    # bandwidth-bound — bytes are seconds) and this skips the per-batch
+    # int32 -> int8 range-check + downcast pass in trainer._put_batch.
+    # Raw masks with values > 127 (e.g. 0/255) keep int32, and a mixed batch
+    # promotes back to int32 at np.stack — the downcast stays lossless.
+    src = sample.get("pixel_mask")
+    if src is not None:
+        src = np.asarray(src)
+        dtype = (np.int8 if src.size == 0
+                 or (src.min() >= -128 and src.max() <= 127) else np.int32)
+    else:
+        dtype = np.int8
+    pixel_mask = np.full((H, W), -1, dtype)
+    if src is not None:
+        pixel_mask[:h, :w] = src
 
     points = np.zeros((spec.max_points, 3), np.int32)
     point_valid = np.zeros((spec.max_points,), bool)
@@ -116,7 +129,7 @@ def _blank_item(spec: CanvasSpec) -> dict:
         "image": np.zeros((spec.height, spec.width, 3), np.uint8),
         "valid": np.zeros((spec.height, spec.width), bool),
         "content_hw": np.zeros((2,), np.int32),
-        "pixel_mask": np.full((spec.height, spec.width), -1, np.int32),
+        "pixel_mask": np.full((spec.height, spec.width), -1, np.int8),
         "points": np.zeros((spec.max_points, 3), np.int32),
         "point_valid": np.zeros((spec.max_points,), bool),
         "use_mask_as_points": np.bool_(False),

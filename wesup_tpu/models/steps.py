@@ -216,6 +216,27 @@ def _batch_valid_and_mask(batch, H, W):
     return valid, batch["pixel_mask"].astype(jnp.int32)
 
 
+def _batch_rng_key(rng, batch, phase_const: int):
+    """Resolve the per-batch PRNG key for a step.
+
+    The trainer's wire format carries ``rng_idx`` — (B, 2) int32 rows all
+    equal to (epoch, batch_idx) so the leaf shards over 'data' like every
+    other batch leaf — and passes its BASE key as ``rng``; the derivation
+    chain (fold epoch, fold phase, fold batch) runs INSIDE the jitted step.
+    Host-side derivation cost ~3 tiny device programs per batch: 33 extra
+    tunnel dispatches per GlaS-85 epoch serializing with the 11 real steps
+    (PERF_NOTES round-4 epoch entry).  The values are bit-identical to the
+    host chain (threefry fold_in is deterministic), so histories are
+    unchanged.  Direct callers (bench, tests, scripts) pass a fully derived
+    key and no ``rng_idx``; then ``rng`` is used as-is.
+    """
+    if "rng_idx" not in batch:
+        return rng
+    key = jax.random.fold_in(rng, batch["rng_idx"][0, 0])
+    key = jax.random.fold_in(key, phase_const)
+    return jax.random.fold_in(key, batch["rng_idx"][0, 1])
+
+
 def init_metric_acc(keys=TRAIN_METRIC_KEYS):
     """On-device metric accumulator: per-metric (sum, count) + NaN flag.
 
@@ -262,7 +283,7 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
 
     def step(params, opt_state, acc, batch, rng):
         B = batch["image"].shape[0]
-        rngs = jax.random.split(rng, B)
+        rngs = jax.random.split(_batch_rng_key(rng, batch, 0), B)
         valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
         prep = jax.vmap(pre)(rngs, batch["image"], valid,
                              pixel_mask, batch["points"],
@@ -406,7 +427,7 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
 
     def step(params, acc, batch, rng):
         B = batch["image"].shape[0]
-        rngs = jax.random.split(rng, B)
+        rngs = jax.random.split(_batch_rng_key(rng, batch, 1), B)
         valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
         prep = jax.vmap(pre)(rngs, batch["image"], valid,
                              pixel_mask, batch["points"],

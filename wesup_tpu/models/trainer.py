@@ -176,18 +176,18 @@ class WESUPTrainer(BaseTrainer):
         count, and chaining would shift every later epoch's augmentation.
         Also makes resume exactly reproduce the original epoch keys.
 
-        Derivation stays on the default (TPU) backend: the three chained
-        fold_ins pipeline to ~10 ms and run on the staging thread, overlapped
-        with device compute.  (Deriving on the XLA:CPU backend instead was
-        measured at ~80 ms/batch on this single-core host — a per-call
-        recompile-grade cost — and regressed the epoch wall ~2x; PERF_NOTES
-        round-4 epoch entry.)
+        The production loop does NOT call this per batch: it ships (epoch,
+        batch_idx) on the wire and the step derives the identical key in-jit
+        (steps._batch_rng_key) — host-side derivation cost 3 tiny device
+        programs per batch, 33 extra tunnel dispatches per GlaS-85 epoch
+        (PERF_NOTES round-4 epoch entry).  Kept for scripts/tests that drive
+        steps directly.
         """
         key = jax.random.fold_in(self._rng, self._epoch_idx)
         key = jax.random.fold_in(key, 0 if phase == "train" else 1)
         return jax.random.fold_in(key, batch_idx)
 
-    def _put_batch(self, batch):
+    def _put_batch(self, batch, rng_idx=None):
         sh = batch_sharding(self.mesh)
         B = batch["image"].shape[0]
         if B % self.mesh.shape.get("data", 1) != 0:
@@ -202,6 +202,11 @@ class WESUPTrainer(BaseTrainer):
         # tunnel H2D is bandwidth-bound at ~90 MB/s, so bytes ARE seconds:
         # 4.6 -> 2.3 MB per B=8 224x320 batch (PERF_NOTES round-4).
         wire = {k: v for k, v in batch.items() if k != "valid"}
+        if rng_idx is not None:
+            # (epoch, batch_idx) rows, one per sample so the leaf shards over
+            # 'data' like the rest of the batch; the step folds them into its
+            # base key in-jit (steps._batch_rng_key)
+            wire["rng_idx"] = np.tile(np.asarray(rng_idx, np.int32), (B, 1))
         if "content_hw" not in wire:
             wire["content_hw"] = np.stack(
                 [batch["valid"].any(axis=2).sum(axis=1).astype(np.int32),
@@ -241,12 +246,15 @@ class WESUPTrainer(BaseTrainer):
             try:
                 for i, batch in enumerate(loader):
                     try:
-                        rng = self._batch_rng(phase, i)
-                        dev_batch = self._put_batch(batch)
+                        # ship (epoch, i) on the wire; the step derives the
+                        # per-batch key in-jit from the base key — zero
+                        # per-batch host/device PRNG work on this thread
+                        dev_batch = self._put_batch(
+                            batch, rng_idx=(self._epoch_idx, i))
                     except RuntimeError as ex:
                         self.logger.exception(ex)
                         continue
-                    q.put((batch, dev_batch, rng))
+                    q.put((batch, dev_batch, self._rng))
             except BaseException as ex:  # loader errors surface to the consumer
                 q.put(ex)
             finally:
