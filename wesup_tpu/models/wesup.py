@@ -456,6 +456,11 @@ def forward_pixel(params: dict, img: jnp.ndarray,
     models/wesup.py:382-400): classify every pixel's hypercolumn.
 
     Returns (B, H, W, C) softmax probabilities.
+
+    This monolithic formulation is the measured optimum (~56% MFU, fc2 at
+    80% of peak): a scanned row-block variant and a split of stage 0 out of
+    the fused upsample buffer were both measured SLOWER (PERF_NOTES items
+    39-41 — XLA's buffer-build/contraction fusions beat hand-restructuring).
     """
     z, bias = hypercolumn_projection_parts(params, img, compute_dtype)
     probs, _ = _mlp_head(params, z + bias.astype(z.dtype))
