@@ -70,6 +70,25 @@ def _maxpool2(x):
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
+def _fused_pool1_ok(pre) -> bool:
+    """Use the fused relu+maxpool+pad Pallas kernel for the stage-1 pool?
+
+    TPU-only, single-process (pallas_call is not SPMD-partitionable), and
+    only for the one pool that crosses the 128-lane boundary (64 -> 128
+    channels) where XLA pads at full resolution (PERF_NOTES item 42).
+    ``WESUP_FUSED_POOL1=0`` forces the XLA path for A/B measurement.
+    """
+    import os
+
+    if os.environ.get("WESUP_FUSED_POOL1", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return False
+    from ..ops import pool_pallas
+
+    return pre.shape[-1] == 64 and pool_pallas.supports(pre.shape)
+
+
 def backbone_features(params: dict, img: jnp.ndarray,
                       compute_dtype=jnp.float32) -> List[jnp.ndarray]:
     """Run VGG16 features on (B, H, W, 3) input in [0, 1].
@@ -83,10 +102,25 @@ def backbone_features(params: dict, img: jnp.ndarray,
     i = 0
     for c in VGG16_CFG:
         if c == "M":
-            x = _maxpool2(x)
+            if taps and _fused_pool1_ok(taps[-1]):
+                # one fused pass over the PRE-ReLU tap: relu + pool +
+                # zero-pad to the next conv's 128-lane width (exact; the
+                # consumer conv's weight is zero-padded to match below)
+                from ..ops import pool_pallas
+
+                x = pool_pallas.fused_relu_pool_pad(taps[-1], 128)
+            else:
+                x = _maxpool2(x)
         else:
             p = params[f"conv{i}"]
-            pre = _conv(x, p["w"], p["b"])
+            w = p["w"]
+            if w.shape[2] != x.shape[-1]:
+                # input widened with structural zeros by the fused pool:
+                # zero-pad the kernel's input channels to match (exact —
+                # the MXU pads 64 -> 128 lanes internally either way)
+                w = jnp.pad(
+                    w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]), (0, 0)))
+            pre = _conv(x, w, p["b"])
             taps.append(pre)
             x = jax.nn.relu(pre)
             i += 1
