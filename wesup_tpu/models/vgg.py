@@ -73,20 +73,24 @@ def _maxpool2(x):
 def _fused_pool1_ok(pre) -> bool:
     """Use the fused relu+maxpool+pad Pallas kernel for the stage-1 pool?
 
-    TPU-only, single-process (pallas_call is not SPMD-partitionable), and
-    only for the one pool that crosses the 128-lane boundary (64 -> 128
-    channels) where XLA pads at full resolution (PERF_NOTES item 42).
-    ``WESUP_FUSED_POOL1=0`` forces the XLA path for A/B measurement.
+    Default OFF: measured a NET REGRESSION in the full predict step (17.4
+    -> 18.5 ms at B=8 288x416, PERF_NOTES item 42) — the kernel itself is
+    exact and fast, but pallas_call only accepts default-layout operands
+    while XLA keeps the stage-1 activations in (C, B, W, H)-minor layouts,
+    so three relayout copies (~1.6 ms) appear around the kernel and eat
+    the ~1.4 ms pad it deletes.  ``WESUP_FUSED_POOL1=1`` opts in for
+    remeasurement (TPU-only, single-process, 64 -> 128 channel pools).
     """
     import os
 
-    if os.environ.get("WESUP_FUSED_POOL1", "1") == "0":
+    if os.environ.get("WESUP_FUSED_POOL1", "0") != "1":
         return False
     if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
         return False
     from ..ops import pool_pallas
 
-    return pre.shape[-1] == 64 and pool_pallas.supports(pre.shape)
+    return pre.shape[-1] == 64 and pool_pallas.supports(pre.shape,
+                                                        out_channels=128)
 
 
 def backbone_features(params: dict, img: jnp.ndarray,

@@ -18,6 +18,18 @@ reading the PRE-ReLU conv output once (relu commutes with max) and writing
 the pooled tensor directly in the 128-channel shape conv2_1 consumes — the
 full-resolution pad never exists.  ~320 MB of traffic instead of ~830 MB.
 
+**Outcome: NEGATIVE RESULT, default OFF (PERF_NOTES item 42).**  The
+kernel is exact on hardware (bitwise vs the reference composition) and
+near its own roofline, but the full predict step REGRESSED 17.4 -> 18.5 ms
+at B=8 288x416: pallas_call only accepts default-layout operands, and XLA
+keeps the stage-1 activations in (C, B, W, H)-minor layouts — the in-situ
+profile shows three relayout copies (0.70 + 0.43 + 0.49 ms) inserted
+around the kernel, more than the 1.4 ms pad+pool pair it deletes.  Kept
+in-tree (gate ``WESUP_FUSED_POOL1=1``) as the documented third attack on
+this boundary, after items 35 (zero-channel widening) and 36
+(optimization_barrier).  Mosaic lowering lessons learned on the way are
+recorded in the kernel body comments and CLAUDE.md.
+
 The consumer conv's weight is zero-padded to the widened input channel
 count at trace time (a few KB, exact: the extra input channels are zero, so
 the MXU accumulates exact zeros — the hardware pads 64 -> 128 internally
@@ -59,39 +71,57 @@ def reference(pre: jnp.ndarray, out_channels: int) -> jnp.ndarray:
     return x
 
 
-def supports(shape, rows: int = 8) -> bool:
+def supports(shape, rows: int = 8, out_channels: int | None = None) -> bool:
     """Whether the kernel handles this input shape.
 
-    Needs even H/W, an output-row count divisible by the block rows, and
-    sublane-aligned output width (bf16 tiles are (16, 128); every
-    32-aligned loader canvas satisfies all of this).
+    Needs even H/W, an output-row count divisible by the block rows,
+    sublane-aligned output width, and — because the kernel folds the
+    W-pair into the lane dim — an output channel count of exactly twice
+    the input's (the 64 -> 128 stage-1 boundary; every 32-aligned loader
+    canvas satisfies the spatial constraints).
     """
     if len(shape) != 4:
         return False
-    _, H, W, _ = shape
+    _, H, W, C = shape
+    if out_channels is not None and out_channels != 2 * C:
+        return False
     return (H % (2 * rows) == 0 and W % 2 == 0
-            and (W // 2) % 8 == 0 and W >= 32)
+            and (W // 2) % 8 == 0 and W >= 32 and 2 * C <= 256)
 
 
-def _kernel(x_ref, o_ref, *, cin: int, cout: int):
-    x = x_ref[0]                                    # (2r, W, cin)
+def _kernel(x_ref, o_ref, *, cin: int):
+    # x lanes hold a W-pair: [x[2q] c0..c{cin-1} | x[2q+1] c0..c{cin-1}]
+    x = x_ref[0]                                    # (2r, W/2, 2*cin)
     r = x.shape[0] // 2
-    xr = x.reshape(r, 2, x.shape[1], cin)           # major-dim split (free)
+    xr = x.reshape(r, 2, x.shape[1], x.shape[2])    # major-dim split (free)
     a = jnp.maximum(xr[:, 0], xr[:, 1])             # H-pair max
     a = jnp.maximum(a, jnp.zeros((), x.dtype))      # relu (commutes with max)
-    m = jnp.maximum(a[:, 0::2, :], a[:, 1::2, :])   # W-pair max (sublanes)
-    if cout > cin:
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, cout - cin)))
-    o_ref[0] = m
+    # W-pair max entirely in lanes: roll the partner half down, take max,
+    # zero the upper half with a select-as-multiply.  No gathers, slices
+    # or pads — stride-2 sublane slicing is NOT lowerable by Mosaic
+    # ("Only 2D gather is supported", and the 2D form hits a gather shape
+    # check), which killed two earlier formulations of this kernel.
+    # shift=+cin over a period of 2*cin: rolled[l] = a[(l + cin) % 2cin]
+    # (pltpu.roll rejects negative shifts, and v5e Mosaic rejects rotates
+    # of 16-bit data — "Rotate with non-32-bit data" — so the roll runs on
+    # an f32 upcast; max of upcast bf16 values is exact either way)
+    a32 = a.astype(jnp.float32) if a.dtype.itemsize < 4 else a
+    m = jnp.maximum(a32, pltpu.roll(a32, shift=cin, axis=2))
+    lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 2)
+    o_ref[0] = (m * (lane < cin).astype(m.dtype)).astype(o_ref.dtype)
 
 
 def _impl(pre: jnp.ndarray, cout: int, rows: int) -> jnp.ndarray:
     B, H, W, C = pre.shape
     nhb = (H // 2) // rows
+    # merge each W-pair into the lane dim OUTSIDE the kernel: a row-major
+    # view (free bitcast under the default layout), so the block arrives
+    # born in its final lane structure
+    x2 = pre.reshape(B, H, W // 2, 2 * C)
     return pl.pallas_call(
-        functools.partial(_kernel, cin=C, cout=cout),
+        functools.partial(_kernel, cin=C),
         grid=(B, nhb),
-        in_specs=[pl.BlockSpec((1, 2 * rows, W, C),
+        in_specs=[pl.BlockSpec((1, 2 * rows, W // 2, 2 * C),
                                lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, rows, W // 2, cout),
@@ -99,7 +129,7 @@ def _impl(pre: jnp.ndarray, cout: int, rows: int) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, cout), pre.dtype),
         interpret=os.environ.get("WESUP_PALLAS_INTERPRET", "0") == "1",
-    )(pre)
+    )(x2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -129,6 +159,6 @@ def fused_relu_pool_pad(pre: jnp.ndarray, out_channels: int,
     (B, H/2, W/2, out_channels) with channels C: zeroed.  Falls back to
     the XLA composition when :func:`supports` rejects the shape.
     """
-    if not supports(pre.shape, rows):
+    if not supports(pre.shape, rows, int(out_channels)):
         return reference(pre, out_channels)
     return _fused(pre, int(out_channels), rows)
