@@ -203,11 +203,21 @@ class CanvasBatcher:
                           self.spec.max_points, self.spec.n_classes)
 
     def __iter__(self) -> Iterator[dict]:
+        it = self.epoch_iter(self._epoch)
+        self._epoch += 1
+        return it
+
+    def epoch_iter(self, epoch: int) -> Iterator[dict]:
+        """One epoch's batches with an EXPLICIT shuffle-epoch index.
+
+        ``__iter__`` delegates here with an internal counter (unchanged
+        behavior); the trainer's cross-epoch lookahead pipeline addresses
+        epochs explicitly instead so that pre-building epoch e+1's batches
+        while e trains neither consumes nor disturbs the counter."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
-        self._epoch += 1
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()

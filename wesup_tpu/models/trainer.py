@@ -139,6 +139,10 @@ class WESUPTrainer(BaseTrainer):
                                    shard_multiple=n_data)
         }
         self._train_spec = spec
+        # shuffle-epoch counter for the train loader (mirrors the batcher's
+        # own __iter__ counter so lookahead epochs shuffle identically)
+        self._train_iters = 0
+        self._cancel_lookahead()
 
         if val_path is not None:
             val_ds = self.get_default_dataset(val_path, train=False)
@@ -225,52 +229,102 @@ class WESUPTrainer(BaseTrainer):
     # than ~2 canvas batches of extra HBM
     _STAGE_DEPTH = 2
 
-    def _staged_batches(self, loader, phase: str):
-        """Iterate (host_batch, dev_batch, dev_rng) with the H2D transfer and
-        rng derivation PIPELINED on a staging thread, ``_STAGE_DEPTH``
-        batches in flight.
+    def _start_staged(self, batch_iter, epoch: int):
+        """EAGERLY start the staging chain over ``batch_iter``: a thread
+        that decodes/builds batches (via the loader's own producer thread),
+        derives the wire rng rows and device_puts, ``_STAGE_DEPTH`` batches
+        in flight.  Returns ``(iterator, cancel_event)`` — the threads run
+        from this call, so a chain started for epoch e+1 overlaps epoch e's
+        metric drain / val phase / record write (cross-epoch lookahead).
 
         The reference hides host prep behind DataLoader worker processes
         (models/base.py:288-300); this single-core host instead overlaps the
-        two host costs that serialized with device compute — device_put
-        (tunnel RPC + transfer) and PRNG derivation — with the current
-        step's execution.  Transfer errors follow the same per-iteration
-        RuntimeError swallow policy as step errors (models/base.py:234-237).
+        host costs that serialized with device compute — decode + resize +
+        canvas build, device_put (tunnel RPC + transfer) and PRNG derivation.
+        Transfer errors follow the same per-iteration RuntimeError swallow
+        policy as step errors (models/base.py:234-237).  Setting the cancel
+        event abandons the chain (threads exit at their next queue put).
         """
         import queue
+        import threading
 
         q: queue.Queue = queue.Queue(maxsize=self._STAGE_DEPTH)
         SENTINEL = object()
+        cancel = threading.Event()
+
+        def _put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             try:
-                for i, batch in enumerate(loader):
+                for i, batch in enumerate(batch_iter):
+                    if cancel.is_set():
+                        return
                     try:
                         # ship (epoch, i) on the wire; the step derives the
                         # per-batch key in-jit from the base key — zero
                         # per-batch host/device PRNG work on this thread
-                        dev_batch = self._put_batch(
-                            batch, rng_idx=(self._epoch_idx, i))
+                        dev_batch = self._put_batch(batch, rng_idx=(epoch, i))
                     except RuntimeError as ex:
                         self.logger.exception(ex)
                         continue
-                    q.put((batch, dev_batch, self._rng))
+                    if not _put((batch, dev_batch, self._rng)):
+                        return
             except BaseException as ex:  # loader errors surface to the consumer
-                q.put(ex)
+                _put(ex)
             finally:
-                q.put(SENTINEL)
+                _put(SENTINEL)
 
-        import threading
+        threading.Thread(target=worker, daemon=True).start()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        def consume():
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        return consume(), cancel
+
+    def _staged_batches(self, loader, phase: str):
+        """One phase's staged batches at the CURRENT epoch (val phase and
+        direct drivers; the train phase goes through the lookahead path)."""
+        it, _ = self._start_staged(iter(loader), self._epoch_idx)
+        return it
+
+    def _take_lookahead(self, loader):
+        """Claim the pre-warmed staging chain if it matches this epoch."""
+        la = getattr(self, "_staged_lookahead", None)
+        self._staged_lookahead = None
+        if la is None:
+            return None
+        epoch, ldr, it, cancel = la
+        if ldr is loader and epoch == self._epoch_idx:
+            return it
+        cancel.set()  # nonstandard epoch sequence: abandon the chain
+        return None
+
+    def _cancel_lookahead(self):
+        la = getattr(self, "_staged_lookahead", None)
+        self._staged_lookahead = None
+        if la is not None:
+            la[3].set()
+
+    def train(self, data_root, **kwargs):
+        try:
+            return super().train(data_root, **kwargs)
+        finally:
+            # the last epoch's pre-warmed chain must not keep staging
+            # while post-training inference/eval uses the device
+            self._cancel_lookahead()
 
     # ------------------------------------------------------------------
     # epoch loop
@@ -315,7 +369,13 @@ class WESUPTrainer(BaseTrainer):
         # mid-epoch, models/base.py:202-203 -- observationally equivalent
         # since the epoch's history would be discarded either way)
         acc = steps.init_metric_acc(steps.TRAIN_METRIC_KEYS)
-        for batch, dev_batch, rng in self._staged_batches(loader, "train"):
+        staged = self._take_lookahead(loader)
+        if staged is None:
+            staged, _ = self._start_staged(
+                loader.epoch_iter(getattr(self, "_train_iters", 0)),
+                self._epoch_idx)
+        self._train_iters = getattr(self, "_train_iters", 0) + 1
+        for batch, dev_batch, rng in staged:
             try:
                 hw = batch["image"].shape[1:3]
                 step = self._get_step("train", (int(hw[0]), int(hw[1])))
@@ -323,6 +383,13 @@ class WESUPTrainer(BaseTrainer):
                     self.params, self.opt_state, acc, dev_batch, rng)
             except RuntimeError as ex:  # parity: swallow per-iteration errors
                 self.logger.exception(ex)
+        # pre-warm epoch e+1's chain NOW: its decode/resize/canvas and H2D
+        # overlap this epoch's metric drain, the val phase and the record
+        # write — the measured per-epoch cold start of the host pipeline
+        # (PERF_NOTES round-4 epoch entry)
+        it, cancel = self._start_staged(
+            loader.epoch_iter(self._train_iters), self._epoch_idx + 1)
+        self._staged_lookahead = (self._epoch_idx + 1, loader, it, cancel)
         self._track_acc(acc)
 
     def _resolve_extra_metric_fns(self):
