@@ -58,7 +58,7 @@ def build_dataset(args):
     return root
 
 
-def train(root, args):
+def train(root, args, overrides):
     import pandas as pd
 
     from wesup_tpu.models import initialize_trainer
@@ -67,16 +67,43 @@ def train(root, args):
     # only the final checkpoint is needed for the test protocol; per-epoch
     # 151 MB writes saturate this host's single core/slow disk (PERF_NOTES
     # item 23), so skip intermediates
-    overrides = {}
-    for kv in args.set or []:
-        k, v = kv.split("=", 1)
-        overrides[k] = json.loads(v)
     trainer = initialize_trainer("wesup", epochs=args.epochs, seed=0,
                                  checkpoint_period=args.epochs, **overrides)
     trainer.train(str(root), epochs=args.epochs)
     hist = pd.read_csv(trainer.record_dir / "history.csv")
     return trainer.record_dir, float(hist["val_dice"].max()), \
         float(hist["val_dice"].to_numpy()[-1])
+
+
+def _jsonable(v):
+    # params/<n>.json round-trips tuples as lists (record.save_params)
+    return list(v) if isinstance(v, tuple) else v
+
+
+def find_reusable_record(args, overrides):
+    """Newest record under --root whose params snapshot equals the config
+    this invocation would train with AND whose final checkpoint exists —
+    lets a sweep interrupted after training (e.g. a TPU worker crash in the
+    test phase) resume without re-burning the 250-epoch runs."""
+    from dataclasses import asdict
+
+    from wesup_tpu.config import WESUPConfig
+
+    want = {k: _jsonable(v) for k, v in asdict(WESUPConfig()).items()}
+    want.update({"epochs": args.epochs, "seed": 0,
+                 "checkpoint_period": args.epochs})
+    want.update({k: _jsonable(v) for k, v in overrides.items()})
+    records = Path(args.root) / "records"
+    for d in sorted(records.glob("*"), reverse=True) if records.exists() else []:
+        pj, hist = d / "params" / "0.json", d / "history.csv"
+        ck = d / "checkpoints" / f"ckpt.{args.epochs:04d}.msgpack"
+        if not (pj.exists() and ck.exists() and hist.exists()):
+            continue
+        got = json.loads(pj.read_text())
+        if ({k: got.get(k) for k in want} == want
+                and sum(1 for _ in open(hist)) >= args.epochs + 1):
+            return d
+    return None
 
 
 def run_test_protocol(record_dir, root):
@@ -117,6 +144,11 @@ def main():
     ap.add_argument("--set", action="append", default=[],
                     help="config override, e.g. --set slic_update_stride=3 "
                          "(value parsed as JSON)")
+    ap.add_argument("--reuse-record", default=None,
+                    help="skip training: run the test protocol against this "
+                         "existing record dir (its history.csv supplies the "
+                         "val-dice fields); 'auto' finds a record whose "
+                         "params match this invocation's config")
     args = ap.parse_args()
     variant = "hard" if args.hard else "easy"
     if args.root is None:
@@ -126,10 +158,29 @@ def main():
 
     t0 = time.time()
     root = build_dataset(args)
-    record_dir, best_val, final_val = train(root, args)
-    print(f"[protocol] trained {args.epochs} epochs: best val Dice "
-          f"{best_val:.4f}, final {final_val:.4f} "
-          f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    overrides = {}
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        overrides[k] = json.loads(v)
+    if args.reuse_record == "auto":
+        args.reuse_record = find_reusable_record(args, overrides)
+        if args.reuse_record is None:
+            print("[protocol] no reusable record found; training",
+                  file=sys.stderr)
+    if args.reuse_record:
+        import pandas as pd
+
+        record_dir = Path(args.reuse_record)
+        hist = pd.read_csv(record_dir / "history.csv")
+        best_val = float(hist["val_dice"].max())
+        final_val = float(hist["val_dice"].to_numpy()[-1])
+        print(f"[protocol] reusing trained record {record_dir}: best val "
+              f"Dice {best_val:.4f}, final {final_val:.4f}", file=sys.stderr)
+    else:
+        record_dir, best_val, final_val = train(root, args, overrides)
+        print(f"[protocol] trained {args.epochs} epochs: best val Dice "
+              f"{best_val:.4f}, final {final_val:.4f} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
     results = run_test_protocol(record_dir, root)
 
     summary = {"variant": variant, "epochs": args.epochs,

@@ -39,7 +39,11 @@ def run_one(config: str, epochs: int, root: str) -> dict:
     tag = config.replace("=", "").replace(",", "_").replace(".", "")
     out = f"/tmp/qp_sweep_{tag}.json"
     cmd = [sys.executable, str(REPO / "scripts" / "quality_protocol.py"),
-           "--hard", "--epochs", str(epochs), "--root", root, "--out", out]
+           "--hard", "--epochs", str(epochs), "--root", root, "--out", out,
+           # resume a crash-interrupted sweep: a config whose 250-epoch
+           # training survived (matching params/0.json + final checkpoint)
+           # skips straight to the test protocol
+           "--reuse-record", "auto"]
     for kv in config.split(","):
         cmd += ["--set", kv]
     print(f"[sweep] {config}: {' '.join(cmd)}", file=sys.stderr, flush=True)
