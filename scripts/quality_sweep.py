@@ -35,7 +35,29 @@ DEFAULT_CONFIGS = [
 ]
 
 
-def run_one(config: str, epochs: int, root: str) -> dict:
+def wait_for_tpu(max_tries: int = 20) -> bool:
+    """Block until the TPU worker answers a tiny matmul.
+
+    The axon worker takes ~8-10 min to come back after a kernel-fault
+    crash; any client started before that just inherits UNAVAILABLE."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print('PROBE_OK', float((x @ x).block_until_ready()[0, 0]))")
+    for i in range(max_tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                               capture_output=True, text=True)
+            if "PROBE_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[sweep] TPU probe {i + 1} failed; sleeping 45s",
+              file=sys.stderr, flush=True)
+        time.sleep(45)
+    return False
+
+
+def run_one(config: str, epochs: int, root: str, retries: int = 2) -> dict:
     tag = config.replace("=", "").replace(",", "_").replace(".", "")
     out = f"/tmp/qp_sweep_{tag}.json"
     cmd = [sys.executable, str(REPO / "scripts" / "quality_protocol.py"),
@@ -48,10 +70,21 @@ def run_one(config: str, epochs: int, root: str) -> dict:
         cmd += ["--set", kv]
     print(f"[sweep] {config}: {' '.join(cmd)}", file=sys.stderr, flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
+    for attempt in range(retries + 1):
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode == 0:
+            break
         print(proc.stdout[-2000:], file=sys.stderr)
         print(proc.stderr[-2000:], file=sys.stderr)
+        # the TPU worker intermittently kernel-faults on large inference
+        # programs (2026-08-19); training survives via --reuse-record, so
+        # a retry only re-runs the test phase
+        if attempt < retries:
+            print(f"[sweep] {config}: attempt {attempt + 1} failed; "
+                  "waiting for TPU recovery and retrying",
+                  file=sys.stderr, flush=True)
+            wait_for_tpu()
+    if proc.returncode != 0:
         return {"config": config, "error": proc.returncode}
     summary = json.loads(Path(out).read_text())
     summary["config"] = config
