@@ -19,6 +19,7 @@ Each config is a ';'-separated list of comma-separated key=value overrides.
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
@@ -70,8 +71,18 @@ def run_one(config: str, epochs: int, root: str, retries: int = 2) -> dict:
         cmd += ["--set", kv]
     print(f"[sweep] {config}: {' '.join(cmd)}", file=sys.stderr, flush=True)
     t0 = time.time()
+    # the 2026-08-19 worker fault is specific to one compiled inference
+    # shape: later attempts shrink the chunk size so every scale program
+    # has fresh shapes (output math is chunk-invariant, inference.py)
+    chunk_schedule = [None, "3", "2"]
     for attempt in range(retries + 1):
-        proc = subprocess.run(cmd, capture_output=True, text=True)
+        env = dict(os.environ)
+        chunk = chunk_schedule[min(attempt, len(chunk_schedule) - 1)]
+        if chunk is not None:
+            env["WESUP_INFER_MAX_BATCH"] = chunk
+            print(f"[sweep] {config}: retry with WESUP_INFER_MAX_BATCH={chunk}",
+                  file=sys.stderr, flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
         if proc.returncode == 0:
             break
         print(proc.stdout[-2000:], file=sys.stderr)

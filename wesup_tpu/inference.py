@@ -22,6 +22,7 @@ Resizes use the same interpolation matrices as the device ops
 from __future__ import annotations
 
 import math
+import os
 from itertools import product
 
 import numpy as np
@@ -151,14 +152,19 @@ def predict_multiscale(predictor: Predictor, img_u8: np.ndarray,
 
 
 def predict_multiscale_batch(predictor: Predictor, imgs_u8, scales=(0.5,),
-                             input_size=None, max_batch: int = 8):
+                             input_size=None, max_batch: int | None = None):
     """Multi-scale prediction over a list of images.
 
     Same-shaped images are grouped and pushed through the device as batches
     (the reference runs one forward per image per scale, infer.py:59-79) —
     on GlaS, where images share a handful of sizes, this fills the chip.
-    Output math is identical to the per-image path.
+    Output math is identical to the per-image path, and invariant to the
+    chunk size: WESUP_INFER_MAX_BATCH overrides the default of 8, which
+    lets a driver re-run a crashed inference with different program shapes
+    (the 2026-08-19 TPU worker fault was specific to one compiled shape).
     """
+    if max_batch is None:
+        max_batch = int(os.environ.get("WESUP_INFER_MAX_BATCH", "8"))
     sp_mode = predictor.mode == "superpixel"
     results = [None] * len(imgs_u8)
 
