@@ -68,8 +68,7 @@ def test_unsupported_shape_falls_back():
 
 
 def test_backbone_with_fused_pool1_matches(monkeypatch):
-    """backbone_features is invariant to the fused-pool gate (values AND
-    gradients — the padded conv2_1 weight accumulates exact zeros)."""
+    """backbone_features values are invariant to the fused-pool gate."""
     monkeypatch.setattr(vgg, "_fused_pool1_ok",
                         lambda pre: pre.shape[-1] == 64
                         and pp.supports(pre.shape))
@@ -83,6 +82,21 @@ def test_backbone_with_fused_pool1_matches(monkeypatch):
     for a, b in zip(taps_fused, taps_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="XLA TPU cannot compile f64 select_and_scatter (the x64-rewrite "
+           "pass is unimplemented for it, and jax_platforms pins a single "
+           "backend so no CPU fallback exists in an axon session); this "
+           "reassociation check is platform-independent host numerics and "
+           "runs in every CPU suite run")
+def test_backbone_fused_pool1_grad_f64(monkeypatch):
+    """Gradients are invariant to the fused-pool gate (the padded conv2_1
+    weight accumulates exact zeros)."""
+    params = vgg.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 32, 64, 3)), jnp.float32)
 
     # the pool VJP replays the reference bitwise, but conv2_1 runs with a
     # 128-channel (zero-widened) input: same exact sum, different

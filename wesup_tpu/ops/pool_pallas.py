@@ -159,6 +159,11 @@ def fused_relu_pool_pad(pre: jnp.ndarray, out_channels: int,
     (B, H/2, W/2, out_channels) with channels C: zeroed.  Falls back to
     the XLA composition when :func:`supports` rejects the shape.
     """
+    if pre.dtype.itemsize > 4:
+        # Mosaic has no 64-bit types ("NotImplementedError: 64-bit types
+        # are not supported" at trace time on hardware); the x64 parity
+        # harness in tests/test_pool_pallas.py reaches here via f64.
+        return reference(pre, out_channels)
     if not supports(pre.shape, rows, int(out_channels)):
         return reference(pre, out_channels)
     return _fused(pre, int(out_channels), rows)
