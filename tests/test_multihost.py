@@ -60,7 +60,7 @@ def test_two_process_global_mesh_train_step(tmp_path):
     # children force their own platform/device count; scrub the parent's
     env.pop("XLA_FLAGS", None)
     env.pop("WESUP_TEST_PLATFORM", None)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
     # One retry: the two-process rendezvous is load-sensitive on this
     # single-core box (cross-process collective timeouts when the suite,

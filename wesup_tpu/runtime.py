@@ -35,8 +35,11 @@ def cache_dir_for(platform: str | None) -> str:
     host-independent (the serialized executable targets the chip) and stay
     in the shared dir.
     """
+    # /tmp is WIPED between build rounds (observed empty at round-4 start);
+    # /root provably persists (VERDICT r4 "next round" #1), so the default
+    # cache home is under /root/.cache.
     base = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
-            or "/tmp/jax_comp_cache")
+            or "/root/.cache/jax_comp_cache")
     if platform != "cpu":
         return base
     return f"{base}_cpu_{_host_fingerprint()}"
