@@ -84,6 +84,34 @@ def test_backbone_with_fused_pool1_matches(monkeypatch):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", ["float64", "int64"])
+def test_wide_dtypes_never_reach_mosaic(monkeypatch, dtype):
+    """Regression guard for the round-4 hardware-only failure: an f64 input
+    traced into the Pallas kernel aborts on the chip (Mosaic has no 64-bit
+    types).  fused_relu_pool_pad must route any >32-bit dtype to the XLA
+    composition at TRACE time — asserted here via eval_shape (no device
+    execution, so this runs in the axon suite too) with the Pallas path
+    booby-trapped."""
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas path reached with a 64-bit dtype")
+
+    monkeypatch.setattr(pp, "_fused", boom)
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        pre = jax.ShapeDtypeStruct((2, 32, 64, 64), jnp.dtype(dtype))
+        out = jax.eval_shape(lambda p: pp.fused_relu_pool_pad(p, 128), pre)
+        assert out.shape == (2, 16, 32, 128)
+        assert out.dtype == jnp.dtype(dtype)
+        # sanity: the supported 32-bit case does still take the Pallas path
+        pre32 = jax.ShapeDtypeStruct((2, 32, 64, 64), jnp.float32)
+        with pytest.raises(AssertionError, match="Pallas path"):
+            jax.eval_shape(lambda p: pp.fused_relu_pool_pad(p, 128), pre32)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
 @pytest.mark.skipif(
     jax.default_backend() == "tpu",
     reason="XLA TPU cannot compile f64 select_and_scatter (the x64-rewrite "
@@ -104,6 +132,7 @@ def test_backbone_fused_pool1_grad_f64(monkeypatch):
     # relu/maxpool selections (1-ulp forward difference at a boundary ->
     # O(1) gradient difference at that element), so compare in f64 where
     # the reassociation error is ~1e-15 of scale and flips don't occur.
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         params64 = jax.tree.map(lambda x: jnp.asarray(np.asarray(x),
@@ -128,4 +157,4 @@ def test_backbone_fused_pool1_grad_f64(monkeypatch):
             scale = max(1.0, float(np.abs(b).max()))
             np.testing.assert_allclose(np.asarray(a), b, atol=1e-9 * scale)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)

@@ -157,7 +157,9 @@ def fused_relu_pool_pad(pre: jnp.ndarray, out_channels: int,
 
     ``pre`` is a (B, H, W, C) PRE-activation conv output; returns
     (B, H/2, W/2, out_channels) with channels C: zeroed.  Falls back to
-    the XLA composition when :func:`supports` rejects the shape.
+    the XLA composition when :func:`supports` rejects the shape, and for
+    any dtype wider than 32 bits (f64/c64/i64 — Mosaic has no 64-bit
+    types; caught on hardware by the round-4 axon suite run).
     """
     if pre.dtype.itemsize > 4:
         # Mosaic has no 64-bit types ("NotImplementedError: 64-bit types
