@@ -108,6 +108,12 @@ class WESUPConfig(BaseConfig):
     # models/wesup.py:185).
     sp_feature_dim: int = 32
 
+    # Width of the two hidden fc layers (reference hardcodes 1024 at
+    # models/wesup.py:213-232).  Knob for the capacity sweep (VERDICT r4
+    # #4): the forward derives every matmul shape from the param tree, so
+    # widening/narrowing here only changes initialization.
+    fc_width: int = 1024
+
     # Fixed number of SLIC iterations on device (skimage default max_iter=10).
     slic_iters: int = 10
 

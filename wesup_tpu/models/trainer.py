@@ -41,7 +41,8 @@ class WESUPTrainer(BaseTrainer):
 
         key = jax.random.PRNGKey(self.config.seed)
         self.params = wesup.init_params(key, n_classes=self.config.n_classes,
-                                        D=self.config.sp_feature_dim)
+                                        D=self.config.sp_feature_dim,
+                                        fc_width=self.config.fc_width)
         self.tx = steps.make_optimizer(self.config)
         self.opt_state = self.tx.init(self.params)
         self._rng = jax.random.PRNGKey(self.config.seed + 1)

@@ -56,17 +56,22 @@ def _linear_init(key, fan_in, fan_out, dtype=jnp.float32):
     return {"w": w, "b": b}
 
 
-def init_params(key: jax.Array, n_classes: int = 2, D: int = D_DEFAULT) -> dict:
-    """Initialize the full WESUP parameter pytree."""
+def init_params(key: jax.Array, n_classes: int = 2, D: int = D_DEFAULT,
+                fc_width: int = 1024) -> dict:
+    """Initialize the full WESUP parameter pytree.
+
+    ``fc_width`` widens/narrows the two hidden fc layers (reference
+    hardcodes 1024, models/wesup.py:213-232); the forward reads every
+    matmul shape from the tree, so no other code changes."""
     keys = jax.random.split(key, 18)
     params = {"backbone": vgg.init_params(keys[0])}
     side = {}
     for i, c in enumerate(vgg.CONV_CHANNELS):
         side[f"side{i}"] = _linear_init(keys[1 + i], c, c // 2)
     params["side"] = side
-    params["fc1"] = _linear_init(keys[14], vgg.FM_CHANNELS_SUM, 1024)
-    params["fc2"] = _linear_init(keys[15], 1024, 1024)
-    params["fc3"] = _linear_init(keys[16], 1024, D)
+    params["fc1"] = _linear_init(keys[14], vgg.FM_CHANNELS_SUM, fc_width)
+    params["fc2"] = _linear_init(keys[15], fc_width, fc_width)
+    params["fc3"] = _linear_init(keys[16], fc_width, D)
     params["cls"] = _linear_init(keys[17], D, n_classes)
     return params
 
