@@ -55,10 +55,10 @@ def ensure_dataset(n_images):
     return root
 
 
-def build_trainer(batch, mode):
+def build_trainer(batch, mode, resize="auto"):
     from wesup_tpu.models import initialize_trainer
 
-    kwargs = dict(batch_size=batch, checkpoint_period=0)
+    kwargs = dict(batch_size=batch, checkpoint_period=0, device_resize=resize)
     if mode == "fixed":
         # the 0.4-scale maximum of 522x775 content, 32-aligned: one program
         kwargs["canvas_size"] = (224, 320)
@@ -88,12 +88,13 @@ def instrumented_epoch(trainer, loader, epoch_idx):
         t1 = time.time()
         rng = trainer._batch_rng("train", i)
         t2 = time.time()
-        hw = batch["image"].shape[1:3]
-        step = trainer._get_step("train", (int(hw[0]), int(hw[1])))
+        step = trainer._get_step("train", trainer._batch_hw(batch))
         dev_batch = trainer._put_batch(batch)
         t3 = time.time()
+        cache = (trainer._resize_cache.get("train")
+                 if "img_idx" in batch else None)
         trainer.params, trainer.opt_state, acc = step(
-            trainer.params, trainer.opt_state, acc, dev_batch, rng)
+            trainer.params, trainer.opt_state, acc, dev_batch, rng, cache)
         t4 = time.time()
         t["wait_host"] += t1 - t0
         t["rng"] += t2 - t1
@@ -126,21 +127,23 @@ def step_only_throughput(trainer, loader, batch_size):
     from wesup_tpu.models import steps
 
     batch = next(iter(loader))
-    hw = batch["image"].shape[1:3]
-    step = trainer._get_step("train", (int(hw[0]), int(hw[1])))
+    hw = trainer._batch_hw(batch)
+    step = trainer._get_step("train", hw)
     dev_batch = trainer._put_batch(batch)
     rng = trainer._batch_rng("train", 0)
+    cache = (trainer._resize_cache.get("train")
+             if "img_idx" in batch else None)
     acc = steps.init_metric_acc(steps.TRAIN_METRIC_KEYS)
     p, o = trainer.params, trainer.opt_state
-    p, o, acc = step(p, o, acc, dev_batch, rng)
+    p, o, acc = step(p, o, acc, dev_batch, rng, cache)
     jax.block_until_ready(acc["count"])
     n = 10
     t0 = time.time()
     for _ in range(n):
-        p, o, acc = step(p, o, acc, dev_batch, rng)
+        p, o, acc = step(p, o, acc, dev_batch, rng, cache)
     jax.block_until_ready(acc["count"])
     dt = (time.time() - t0) / n
-    return dt, tuple(int(x) for x in hw)
+    return dt, hw
 
 
 def main():
@@ -149,20 +152,21 @@ def main():
     n_images = int(sys.argv[3]) if len(sys.argv) > 3 else 85
     mode = sys.argv[4] if len(sys.argv) > 4 else "fixed"
     loop = sys.argv[5] if len(sys.argv) > 5 else "both"  # instrument|pipeline|both
+    resize = sys.argv[6] if len(sys.argv) > 6 else "auto"  # auto|on|off
 
     root = ensure_dataset(n_images)
 
     import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    trainer = build_trainer(batch, mode)
+    trainer = build_trainer(batch, mode, resize)
     trainer.setup_dataloaders(root / "train", None)
     loader = trainer.dataloaders["train"]
     trainer.tracker.start_new_epoch(trainer.current_lr())
     trainer.tracker.train()
 
     report = {"batch": batch, "n_images": n_images, "mode": mode,
-              "epochs": []}
+              "resize": resize, "epochs": []}
     for e in range(1, epochs + 1):
         if loop in ("instrument", "both"):
             wall, parts, n_batches, n_valid = instrumented_epoch(

@@ -114,6 +114,15 @@ class WESUPConfig(BaseConfig):
     # widening/narrowing here only changes initialization.
     fc_width: int = 1024
 
+    # Where the per-epoch train/val resize runs.  "auto"/"on": ship the
+    # full-resolution decode to the device ONCE per run and resize
+    # bit-exactly inside the jitted step (ops/train_resize.py — cv2's
+    # fixed-point algorithm on the MXU; histories stay byte-identical);
+    # "auto" falls back to the host path when the dataset can't be cached
+    # losslessly (no masks / values beyond int8 / above the size cap).
+    # "off": always resize on host with cv2 (the round-4 behavior).
+    device_resize: str = "auto"
+
     # Fixed number of SLIC iterations on device (skimage default max_iter=10).
     slic_iters: int = 10
 

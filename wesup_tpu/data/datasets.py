@@ -192,13 +192,40 @@ class SegmentationDataset:
                     int(np.ceil(self.rescale_factor * width))), self.rescale_factor
         return (height, width), 1.0
 
+    # Set True by the WESUP trainer when the full-res decode lives on the
+    # device and the per-epoch cv2 resize runs bit-exactly INSIDE the jitted
+    # step (ops/train_resize.py).  The multiscale draw still happens here —
+    # same self._rng call order — so histories stay byte-identical.
+    device_resize = False
+
     def _resize(self, img, mask):
         h, w = img.shape[:2]
         target, factor = self._pick_target_size(h, w)
+        if self.device_resize:
+            return img, mask, target, factor  # resize happens on device
         img = resize_img(img, target)
         if mask is not None:
             mask = resize_mask(mask, target)
         return img, mask, target, factor
+
+    def full_res_item(self, i):
+        """Full-resolution decode for the device resize cache (position
+        ``i`` AFTER proportion subsampling, matching ``__getitem__``)."""
+        idx = self.picked[i]
+        img = _decode_cache.get(self.img_paths[idx], imread_rgb)
+        return {"image": img, "pixel_mask": self._load_mask(idx)}
+
+    def _meta_sample(self, i, sample, full_hw, target_hw):
+        """Rewrite a sample for the device-resize wire format: the image and
+        mask stay on the device (cache index + resize vectors travel
+        instead); points and flags ride along unchanged."""
+        sample = dict(sample)
+        sample.pop("image")
+        sample.pop("pixel_mask")
+        sample.update(img_idx=i, full_hw=tuple(int(v) for v in full_hw),
+                      target_hw=tuple(int(v) for v in target_hw),
+                      device_resize=True)
+        return sample
 
     def _load_mask(self, idx):
         if self.mask_paths is None:
@@ -207,16 +234,20 @@ class SegmentationDataset:
         return m.astype(np.int32)
 
     def __getitem__(self, idx):
+        i = idx
         idx = self.picked[idx]
         img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
-        img, mask, _, _ = self._resize(img, mask)
+        full_hw = img.shape[:2]
+        img, mask, target_hw, _ = self._resize(img, mask)
         sample = {
             "image": img,
             "pixel_mask": mask,
             "points": None,
             "use_mask_as_points": False,
         }
+        if self.device_resize:
+            return self._meta_sample(i, sample, full_hw, target_hw)
         if self.contour:
             # reference computes contours whenever contour=True and a mask
             # exists (utils/data.py:138-151; with no mask it crashes on an
@@ -275,18 +306,22 @@ class PointSupervisionDataset(SegmentationDataset):
         return np.floor(points * rescaler).astype(np.int32)
 
     def __getitem__(self, idx):
+        i = idx
         idx = self.picked[idx]
         img = _decode_cache.get(self.img_paths[idx], imread_rgb)
         mask = self._load_mask(idx)
         orig_hw = img.shape[:2]
         img, mask, target_hw, factor = self._resize(img, mask)
         points = self._read_points(idx, orig_hw, target_hw, factor)
-        return {
+        sample = {
             "image": img,
             "pixel_mask": mask,
             "points": points,
             "use_mask_as_points": False,
         }
+        if self.device_resize:
+            return self._meta_sample(i, sample, orig_hw, target_hw)
+        return sample
 
 
 class Digest2019PointDataset(PointSupervisionDataset):
@@ -303,13 +338,17 @@ class Digest2019PointDataset(PointSupervisionDataset):
 
         img = imread_rgb(self.img_paths[pidx])
         mask = self._load_mask(pidx)
-        img, mask, _, _ = self._resize(img, mask)
-        return {
+        full_hw = img.shape[:2]
+        img, mask, target_hw, _ = self._resize(img, mask)
+        sample = {
             "image": img,
             "pixel_mask": mask,
             "points": np.array([[0, 0, 0]], np.int32),
             "use_mask_as_points": True,
         }
+        if self.device_resize:
+            return self._meta_sample(idx, sample, full_hw, target_hw)
+        return sample
 
 
 class AreaConstraintDataset(SegmentationDataset):

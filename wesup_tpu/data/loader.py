@@ -62,8 +62,59 @@ def infer_canvas(dataset, pad_multiple: int = 32,
                       max_points, n_classes)
 
 
+def _points_arrays(sample: dict, spec: CanvasSpec):
+    points = np.zeros((spec.max_points, 3), np.int32)
+    point_valid = np.zeros((spec.max_points,), bool)
+    pts = sample.get("points")
+    if pts is not None and len(pts) > 0:
+        pts = np.asarray(pts, np.int32)
+        n = min(len(pts), spec.max_points)
+        points[:n] = pts[:n]
+        point_valid[:n] = True
+    return points, point_valid
+
+
+def place_meta_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
+    """Device-resize wire item: the image/mask stay in the device cache;
+    only the cache index + cv2-exact resize vectors + points travel
+    (~10 KB vs ~2.3 MB per B=8 batch — the tunnel is bandwidth-bound)."""
+    from ..ops.train_resize import resize_vectors
+
+    th, tw = sample["target_hw"]
+    if th > spec.height or tw > spec.width:
+        raise ValueError(f"target ({th}x{tw}) exceeds canvas "
+                         f"({spec.height}x{spec.width})")
+    item = resize_vectors(sample["full_hw"], (th, tw),
+                          (spec.height, spec.width))
+    item["img_idx"] = np.int32(sample["img_idx"])
+    item["content_hw"] = np.array([th, tw], np.int32)
+    item["points"], item["point_valid"] = _points_arrays(sample, spec)
+    item["use_mask_as_points"] = np.bool_(
+        sample.get("use_mask_as_points", False))
+    item["sample_valid"] = np.bool_(True)
+    return item
+
+
+def _blank_meta_item(spec: CanvasSpec) -> dict:
+    """Batch-padding item for the device-resize wire format: all-zero
+    vectors resize cache image 0 to an all-zero canvas (matching
+    ``_blank_item``'s zeros) and content (0, 0) masks everything out."""
+    from ..ops.train_resize import resize_vectors
+
+    item = resize_vectors((1, 1), (0, 0), (spec.height, spec.width))
+    item["img_idx"] = np.int32(0)
+    item["content_hw"] = np.zeros((2,), np.int32)
+    item["points"] = np.zeros((spec.max_points, 3), np.int32)
+    item["point_valid"] = np.zeros((spec.max_points,), bool)
+    item["use_mask_as_points"] = np.bool_(False)
+    item["sample_valid"] = np.bool_(False)
+    return item
+
+
 def place_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
     """Pad one dataset sample onto the canvas; returns fixed-shape arrays."""
+    if sample.get("device_resize"):
+        return place_meta_on_canvas(sample, spec)
     img = sample["image"]
     h, w = img.shape[:2]
     H, W = spec.height, spec.width
@@ -98,14 +149,7 @@ def place_on_canvas(sample: dict, spec: CanvasSpec) -> dict:
     if src is not None:
         pixel_mask[:h, :w] = src
 
-    points = np.zeros((spec.max_points, 3), np.int32)
-    point_valid = np.zeros((spec.max_points,), bool)
-    pts = sample.get("points")
-    if pts is not None and len(pts) > 0:
-        pts = np.asarray(pts, np.int32)
-        n = min(len(pts), spec.max_points)
-        points[:n] = pts[:n]
-        point_valid[:n] = True
+    points, point_valid = _points_arrays(sample, spec)
 
     return {
         "image": canvas,
@@ -197,7 +241,10 @@ class CanvasBatcher:
     def _spec_for(self, sample) -> CanvasSpec:
         if not self.bucket:
             return self.spec
-        h, w = sample["image"].shape[:2]
+        if sample.get("device_resize"):
+            h, w = sample["target_hw"]   # image materializes on device
+        else:
+            h, w = sample["image"].shape[:2]
         return CanvasSpec(min(_round_up(h, 32), self.spec.height),
                           min(_round_up(w, 32), self.spec.width),
                           self.spec.max_points, self.spec.n_classes)
@@ -224,8 +271,10 @@ class CanvasBatcher:
         eff_bs = self.effective_batch_size
 
         def emit(spec, batch):
+            blank = (_blank_meta_item if "img_idx" in batch[0]
+                     else _blank_item)
             while len(batch) < eff_bs:
-                batch.append(_blank_item(spec))
+                batch.append(blank(spec))
             q.put(_stack(batch))
 
         def producer():

@@ -21,6 +21,7 @@ from ..config import WESUPConfig
 from ..ops import augment as aug
 from ..ops.slic import make_plan, n_clusters, slic
 from ..ops.segments import superpixel_stats
+from ..ops import train_resize
 from ..utils.metrics import device_accuracy, device_dice
 from . import wesup
 from .objectives import wesup_loss
@@ -196,6 +197,13 @@ TRAIN_METRIC_KEYS = ("loss", "accuracy", "dice", "labeled_sp_ratio",
 EVAL_METRIC_KEYS = ("accuracy", "dice")
 
 
+def _extent_valid(content_hw, H, W):
+    """(B, H, W) top-left rectangle masks from (B, 2) content extents."""
+    hs, ws = content_hw[:, 0], content_hw[:, 1]
+    return ((jnp.arange(H)[None, :, None] < hs[:, None, None]) &
+            (jnp.arange(W)[None, None, :] < ws[:, None, None]))
+
+
 def _batch_valid_and_mask(batch, H, W):
     """(valid, pixel_mask) from a batch in either wire format.
 
@@ -207,13 +215,24 @@ def _batch_valid_and_mask(batch, H, W):
     tests) may still pass the explicit mask.
     """
     if "content_hw" in batch:
-        hs = batch["content_hw"][:, 0]
-        ws = batch["content_hw"][:, 1]
-        valid = ((jnp.arange(H)[None, :, None] < hs[:, None, None]) &
-                 (jnp.arange(W)[None, None, :] < ws[:, None, None]))
+        valid = _extent_valid(batch["content_hw"], H, W)
     else:
         valid = batch["valid"]
     return valid, batch["pixel_mask"].astype(jnp.int32)
+
+
+def _batch_inputs(batch, cache, H, W):
+    """(image_u8, valid, pixel_mask) in any wire format.
+
+    With a device-resize cache and metadata (ops/train_resize.py) the
+    uint8 canvas image and int mask materialize HERE, bit-exactly equal to
+    what the host path would have shipped; otherwise they come off the
+    wire as before."""
+    if cache is not None and "img_idx" in batch:
+        image, pixel_mask = train_resize.apply_resize(cache, batch)
+        return image, _extent_valid(batch["content_hw"], H, W), pixel_mask
+    valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
+    return batch["image"], valid, pixel_mask
 
 
 def _batch_rng_key(rng, batch, phase_const: int):
@@ -281,11 +300,11 @@ def make_train_step(config: WESUPConfig, canvas_hw, *, point_mode: bool,
     pre = functools.partial(_preprocess_sample, config=config, train=True,
                             point_mode=point_mode)
 
-    def step(params, opt_state, acc, batch, rng):
-        B = batch["image"].shape[0]
+    def step(params, opt_state, acc, batch, rng, cache=None):
+        B = batch["sample_valid"].shape[0]
         rngs = jax.random.split(_batch_rng_key(rng, batch, 0), B)
-        valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
-        prep = jax.vmap(pre)(rngs, batch["image"], valid,
+        image, valid, pixel_mask = _batch_inputs(batch, cache, H, W)
+        prep = jax.vmap(pre)(rngs, image, valid,
                              pixel_mask, batch["points"],
                              batch["point_valid"], batch["use_mask_as_points"])
 
@@ -425,11 +444,11 @@ def make_eval_step(config: WESUPConfig, canvas_hw) -> callable:
     pre = functools.partial(_preprocess_sample, config=config, train=False,
                             point_mode=False)
 
-    def step(params, acc, batch, rng):
-        B = batch["image"].shape[0]
+    def step(params, acc, batch, rng, cache=None):
+        B = batch["sample_valid"].shape[0]
         rngs = jax.random.split(_batch_rng_key(rng, batch, 1), B)
-        valid, pixel_mask = _batch_valid_and_mask(batch, H, W)
-        prep = jax.vmap(pre)(rngs, batch["image"], valid,
+        image, valid, pixel_mask = _batch_inputs(batch, cache, H, W)
+        prep = jax.vmap(pre)(rngs, image, valid,
                              pixel_mask, batch["points"],
                              batch["point_valid"], batch["use_mask_as_points"])
         compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"

@@ -123,6 +123,7 @@ class WESUPTrainer(BaseTrainer):
         train_ds = self.get_default_dataset(train_path, proportion=proportion)
         train_ds.summary(logger=self.logger)
         self._point_mode = (Path(train_path) / "points").exists()
+        self._setup_resize_cache("train", train_ds)
         canvas = self.config.canvas_size
         if canvas is not None:
             spec = CanvasSpec(canvas[0], canvas[1], n_classes=self.config.n_classes)
@@ -148,11 +149,54 @@ class WESUPTrainer(BaseTrainer):
         if val_path is not None:
             val_ds = self.get_default_dataset(val_path, train=False)
             val_ds.summary(logger=self.logger)
+            self._setup_resize_cache("val", val_ds)
             vspec = infer_canvas(val_ds, n_classes=self.config.n_classes)
             self.logger.info(f"Val canvas: {vspec.height}x{vspec.width}")
             self.dataloaders["val"] = CanvasBatcher(val_ds, vspec,
                                                     batch_size=max(1, n_data),
                                                     shard_multiple=n_data)
+
+    # device-resize cache size cap ("auto" mode falls back to host resize
+    # above this): GlaS-85 is ~140 MB; 4 GB leaves HBM for the model
+    _RESIZE_CACHE_CAP = 4 << 30
+
+    def _setup_resize_cache(self, phase: str, dataset):
+        """Enable the device-resize path (ops/train_resize.py) for a phase.
+
+        Ships the dataset's full-resolution decode to the device ONCE; the
+        per-epoch cv2 resize then runs bit-exactly inside the jitted step,
+        deleting the producer's dominant per-epoch host cost (PERF_NOTES
+        item 38: ~0.2 s/epoch of decode+resize+canvas CPU time-slicing one
+        core against a ~0.27 s device program) and cutting wire bytes per
+        batch from ~2.3 MB to ~80 KB.  Histories are byte-identical
+        (tests/test_train_resize.py + test_train_parity.py)."""
+        mode = str(getattr(self.config, "device_resize", "off")).lower()
+        if not hasattr(self, "_resize_cache"):
+            self._resize_cache = {}
+        self._resize_cache[phase] = None
+        if mode in ("off", "false", "0", "none"):
+            return
+        if phase == "val" and self.kwargs.get("metrics"):
+            # the extra-metrics path reads per-sample masks host-side
+            # (_collect_host_eval); keep the host wire format there
+            return
+        from ..ops.train_resize import build_cache
+
+        host = build_cache(dataset, max_bytes=self._RESIZE_CACHE_CAP)
+        if host is None:
+            if mode in ("on", "true", "1"):
+                raise ValueError(
+                    f"device_resize='on' but the {phase} dataset cannot be "
+                    "cached losslessly (missing/over-range masks or above "
+                    "the size cap)")
+            return
+        rep = replicated_sharding(self.mesh)
+        self._resize_cache[phase] = {
+            k: jax.device_put(v, rep) for k, v in host.items()}
+        dataset.device_resize = True
+        self.logger.info(
+            f"Device resize ({phase}): {host['imgs'].shape[0]} images "
+            f"cached on device ({host['imgs'].nbytes / 1e6:.0f} MB)")
 
     # ------------------------------------------------------------------
     # steps
@@ -192,9 +236,19 @@ class WESUPTrainer(BaseTrainer):
         key = jax.random.fold_in(key, 0 if phase == "train" else 1)
         return jax.random.fold_in(key, batch_idx)
 
+    @staticmethod
+    def _batch_hw(batch) -> tuple:
+        """Canvas (H, W) of a batch in either wire format (device-resize
+        batches carry no image; the vector lengths ARE the canvas)."""
+        if "image" in batch:
+            hw = batch["image"].shape[1:3]
+        else:
+            hw = (batch["rsz_iy"].shape[1], batch["rsz_ix"].shape[1])
+        return (int(hw[0]), int(hw[1]))
+
     def _put_batch(self, batch, rng_idx=None):
         sh = batch_sharding(self.mesh)
-        B = batch["image"].shape[0]
+        B = batch["sample_valid"].shape[0]
         if B % self.mesh.shape.get("data", 1) != 0:
             sh = replicated_sharding(self.mesh)
         # ONE device_put of the whole pytree with ONE sharding (the batched
@@ -212,13 +266,14 @@ class WESUPTrainer(BaseTrainer):
             # 'data' like the rest of the batch; the step folds them into its
             # base key in-jit (steps._batch_rng_key)
             wire["rng_idx"] = np.tile(np.asarray(rng_idx, np.int32), (B, 1))
-        if "content_hw" not in wire:
+        if "content_hw" not in wire and "valid" in batch:
             wire["content_hw"] = np.stack(
                 [batch["valid"].any(axis=2).sum(axis=1).astype(np.int32),
                  batch["valid"].any(axis=1).sum(axis=1).astype(np.int32)],
                 axis=-1)
-        pm = batch["pixel_mask"]
-        if pm.dtype != np.int8 and -128 <= pm.min() and pm.max() <= 127:
+        pm = batch.get("pixel_mask")  # absent on device-resize batches
+        if (pm is not None and pm.dtype != np.int8
+                and -128 <= pm.min() and pm.max() <= 127):
             # lossless downcast only: a mask with class values > 127 (e.g.
             # raw 0/255 masks, which the reference would also treat as class
             # 255) keeps its dtype rather than silently wrapping
@@ -376,12 +431,14 @@ class WESUPTrainer(BaseTrainer):
                 loader.epoch_iter(getattr(self, "_train_iters", 0)),
                 self._epoch_idx)
         self._train_iters = getattr(self, "_train_iters", 0) + 1
+        cache = getattr(self, "_resize_cache", {}).get("train")
         for batch, dev_batch, rng in staged:
             try:
-                hw = batch["image"].shape[1:3]
-                step = self._get_step("train", (int(hw[0]), int(hw[1])))
+                hw = self._batch_hw(batch)
+                step = self._get_step("train", hw)
                 self.params, self.opt_state, acc = step(
-                    self.params, self.opt_state, acc, dev_batch, rng)
+                    self.params, self.opt_state, acc, dev_batch, rng,
+                    cache if "img_idx" in batch else None)
             except RuntimeError as ex:  # parity: swallow per-iteration errors
                 self.logger.exception(ex)
         # pre-warm epoch e+1's chain NOW: its decode/resize/canvas and H2D
@@ -463,9 +520,11 @@ class WESUPTrainer(BaseTrainer):
         extra_fns = self._resolve_extra_metric_fns()
         pending = []  # (device pred, host batch) — bounded sliding window
         host_preds, host_targets = [], []
+        cache = getattr(self, "_resize_cache", {}).get("val")
         for batch, dev_batch, rng in self._staged_batches(loader, "val"):
             try:
-                pred, acc = step(self.params, acc, dev_batch, rng)
+                pred, acc = step(self.params, acc, dev_batch, rng,
+                                 cache if "img_idx" in batch else None)
                 if extra_fns:
                     # keep the DEVICE array; fetching here would block this
                     # host thread on step i's completion (~30 ms/RPC tunnel)
