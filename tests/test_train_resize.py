@@ -127,6 +127,40 @@ def test_build_cache_fallbacks():
         FakeDS([np.zeros((8, 8), np.int32)]), max_bytes=10) is None
 
 
+def test_bucketed_batching_groups_like_host(tmp_path):
+    """Bucket assignment must come from the TARGET size in device mode so
+    batch composition (and thus histories) matches the host path."""
+    root = tmp_path / "ds"
+    make_dataset(root, n_train=6, n_val=0, hw=(96, 128))
+    from wesup_tpu.data.datasets import PointSupervisionDataset
+    from wesup_tpu.data.loader import CanvasBatcher
+
+    def batches(device_mode):
+        ds = PointSupervisionDataset(root / "train",
+                                     multiscale_range=(0.3, 0.6), seed=3)
+        ds.device_resize = device_mode
+        bat = CanvasBatcher(ds, CanvasSpec(96, 128), batch_size=2,
+                            shuffle=True, seed=0, bucket=True)
+        out = []
+        for b in bat.epoch_iter(0):
+            key = ("img_idx" if device_mode else "image")
+            hw = ((b["rsz_iy"].shape[1], b["rsz_ix"].shape[1])
+                  if device_mode else b["image"].shape[1:3])
+            out.append((tuple(hw), b["content_hw"].tolist(),
+                        b["sample_valid"].tolist(), key in b))
+        return out
+
+    host = batches(False)
+    dev = batches(True)
+    assert len(host) == len(dev)
+    for (hw_h, chw_h, sv_h, _), (hw_d, chw_d, sv_d, has_meta) in zip(host,
+                                                                     dev):
+        assert has_meta
+        assert hw_h == hw_d
+        assert chw_h == chw_d
+        assert sv_h == sv_d
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("synth_dres")
