@@ -133,9 +133,11 @@ def main():
                                          "connectivity_r5.json"))
     args = ap.parse_args()
 
-    import jax
+    import jax  # noqa: F401  (import before config, sitecustomize rules)
 
-    jax.config.update("jax_platforms", args.platform)
+    from wesup_tpu.runtime import force_platform
+
+    force_platform(args.platform)  # also host-scopes the CPU cache dir
     import jax.numpy as jnp
 
     from make_dataset import make_dataset
