@@ -276,11 +276,13 @@ def measure_tpu(warmup_only: bool = False):
     best = 0.0
     compile_s = 0.0
     N_SHORT, N_LONG = 2, 12
-    # B=8/16 trade the headline within noise (BENCH_r04: 466 vs 463; this
-    # round: 457 vs 465); B=1 never wins it and costs ~6-7 s of the
-    # driver-visible window in program-load time alone, so it is opt-in.
+    # B=8/16 trade the headline within noise (BENCH_r04: 466 vs 463; round-5
+    # check: 460 vs 463) and each batch size costs ~22-25 s of driver-visible
+    # serialized-executable LOAD through the tunnel even on a full cache hit
+    # (PERF_NOTES item 44: the <30 s compile_s bar is load-bound).  B=8 won
+    # the round-4 headline, so it is the sole default; B=1/B=16 are opt-in.
     batches = tuple(int(b) for b in
-                    os.environ.get("WESUP_BENCH_BATCHES", "8,16").split(","))
+                    os.environ.get("WESUP_BENCH_BATCHES", "8").split(","))
     for B in batches:
         imgs, valid = make_images(B)
         imgs, valid = jnp.asarray(imgs), jnp.asarray(valid)
