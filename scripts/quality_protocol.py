@@ -67,8 +67,9 @@ def train(root, args, overrides):
     # only the final checkpoint is needed for the test protocol; per-epoch
     # 151 MB writes saturate this host's single core/slow disk (PERF_NOTES
     # item 23), so skip intermediates
-    trainer = initialize_trainer("wesup", epochs=args.epochs, seed=0,
-                                 checkpoint_period=args.epochs, **overrides)
+    kwargs = dict(epochs=args.epochs, seed=0, checkpoint_period=args.epochs)
+    kwargs.update(overrides)  # lets --set seed=1 override the pinned default
+    trainer = initialize_trainer("wesup", **kwargs)
     trainer.train(str(root), epochs=args.epochs)
     hist = pd.read_csv(trainer.record_dir / "history.csv")
     return trainer.record_dir, float(hist["val_dice"].max()), \
