@@ -10,6 +10,22 @@ sys.path.insert(0, str(Path(__file__).parent))
 from make_dataset import make_dataset  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_writes():
+    """XLA:CPU segfaults serializing this module's 8-device bucketed train
+    executable for the persistent compilation cache (deterministic: twice at
+    the same test in the round-5 full-suite runs, main thread inside
+    compilation_cache.put_executable_and_time -> executable.serialize()).
+    Disable cache WRITES for this module — reads stay enabled, the program
+    just recompiles (~tens of seconds on CPU) instead of crashing pytest."""
+    import jax
+
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("dp_ds")
@@ -77,7 +93,10 @@ def test_bucketed_multisize_dp_matches_single_device(tmp_path, monkeypatch,
     loader = trainer8.dataloaders["train"]
     assert loader.effective_batch_size == 8
     batch = next(iter(loader))
-    assert batch["image"].shape[0] == 8
+    # device-resize (default auto) ships ~10 KB resize metadata per sample
+    # instead of the canvas image; either wire format must shard-pad to 8
+    lead = batch["img_idx"] if "img_idx" in batch else batch["image"]
+    assert lead.shape[0] == 8
     assert batch["sample_valid"].sum() == 2  # 2 real + 6 blanks
 
     assert list(hist1.columns) == list(hist8.columns)
