@@ -73,12 +73,17 @@ def publish_cache_entries(since: float):
     import shutil
 
     committed = {e.name for e in dst.glob("jit_repeat_steps-*-cache")}
-    # freshly written entries (cache misses during this warmup) plus every
-    # already-committed entry still present in the live cache (cache hits
-    # leave mtime untouched and atime is unreliable under relatime, so
-    # "still exists" is the only dependable signal for those)
-    keep = {e.name: e for e in src.glob("jit_repeat_steps-*-cache")
-            if e.stat().st_mtime >= since or e.name in committed}
+    # freshly written entries (cache misses during this warmup) are the
+    # authoritative live set: when the benched program re-keys, the stale
+    # committed entries must NOT be carried forward (they cost git bytes
+    # and restore time forever).  Only when the warmup wrote nothing at
+    # all (pure cache hit — program unchanged since last publish) is the
+    # committed set kept as-is.
+    fresh = {e.name: e for e in src.glob("jit_repeat_steps-*-cache")
+             if e.stat().st_mtime >= since}
+    keep = fresh if fresh else {
+        e.name: e for e in src.glob("jit_repeat_steps-*-cache")
+        if e.name in committed}
     dropped = 0
     for old in dst.glob("jit_repeat_steps-*-cache"):
         if old.name not in keep:
