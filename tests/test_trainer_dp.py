@@ -17,9 +17,20 @@ def _no_persistent_cache_writes():
     the same test in the round-5 full-suite runs, main thread inside
     compilation_cache.put_executable_and_time -> executable.serialize()).
     Disable cache WRITES for this module — reads stay enabled, the program
-    just recompiles (~tens of seconds on CPU) instead of crashing pytest."""
+    just recompiles (~tens of seconds on CPU) instead of crashing pytest.
+
+    The full-suite rerun then still segfaulted INSIDE the compile itself
+    (jax compiler.py backend_compile_and_load) at the same test, while the
+    module standalone passes — suite-context-dependent state, with ~175
+    tests' worth of loaded XLA:CPU executables resident in the process.
+    jax.clear_caches() drops those before this module's big 8-device
+    compile (the standalone-passing condition, reproduced in-suite)."""
+    import gc
+
     import jax
 
+    jax.clear_caches()
+    gc.collect()
     prev = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
