@@ -32,10 +32,8 @@ Reference semantics covered: superpixel counts / label vote
 from __future__ import annotations
 
 
-import functools
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -220,81 +218,6 @@ def _axis_local(A: np.ndarray, cell: np.ndarray, K: int):
     return tuple(A_loc), E, I, anchor.astype(np.int32), rmin
 
 
-# ---------------------------------------------------------------------------
-# On-device expansion of near-empty constant matrices.
-#
-# The banded window/placement matrices above are built dense on the host but
-# have at most a couple of nonzeros per row.  Baking them into the program as
-# dense literals inflates the serialized TPU executable by megabytes, and on
-# this box every megabyte of executable costs seconds of driver-visible LOAD
-# time through the axon tunnel on a persistent-cache hit (PERF_NOTES item 44:
-# the <30 s compile_s bar is load-bound, not compile-bound).  So the program
-# carries only the COMPACT form — per-row (column, weight) pairs, a few KB —
-# and rebuilds the dense matrix on device with iota compares: exact 0/1
-# placement of the identical (already-rounded) weights, bit-equal to the
-# baked literal.  ``lax.optimization_barrier`` on the compact operands stops
-# XLA's constant folder from re-materializing the dense literal at compile
-# time; the rebuild itself is a few MB of VPU writes per invocation (noise
-# next to the matmuls that consume the result).
-
-def compact_rows(A: np.ndarray, max_nnz: int):
-    """Last-axis compact (columns, weights) of a mostly-empty matrix.
-
-    Returns (z, w): ``A.shape[:-1] + (max_nnz,)`` int32 column indices
-    (-1 = empty slot) and float32 weights.  Raises if any row has more than
-    ``max_nnz`` nonzeros (caller picked the wrong bound, not a data issue).
-    """
-    A2 = np.asarray(A).reshape(-1, A.shape[-1])
-    R = A2.shape[0]
-    z = np.full((R, max_nnz), -1, np.int32)
-    w = np.zeros((R, max_nnz), np.float32)
-    rows, cols = np.nonzero(A2)
-    slot = np.zeros((R,), np.int64)
-    if rows.size:
-        counts = np.bincount(rows, minlength=R)
-        if counts.max() > max_nnz:
-            raise ValueError(
-                f"row with {counts.max()} nonzeros > max_nnz={max_nnz}")
-        for r, c in zip(rows, cols):
-            z[r, slot[r]] = c
-            w[r, slot[r]] = A2[r, c]
-            slot[r] += 1
-    return (z.reshape(A.shape[:-1] + (max_nnz,)),
-            w.reshape(A.shape[:-1] + (max_nnz,)))
-
-
-_COMPACT_CACHE: dict = {}
-
-
-def _compact_cached(A: np.ndarray, max_nnz: int = 2):
-    """compact_rows memoized on the (long-lived, plan-cached) array object."""
-    key = (id(A), A.shape, max_nnz)
-    got = _COMPACT_CACHE.get(key)
-    if got is None:
-        got = _COMPACT_CACHE[key] = compact_rows(A, max_nnz) + (A,)
-    return got[:2]
-
-
-def expand_rows(z: np.ndarray, w: np.ndarray, Z: int, dtype) -> jnp.ndarray:
-    """Rebuild the dense (..., Z) matrix from :func:`compact_rows` output.
-
-    Each slot contributes ``w * [col == z]``; slots are disjoint columns so
-    the sum places each weight exactly (no fp accumulation error), and the
-    weights are cast to ``dtype`` first — identical rounding to
-    ``jnp.asarray(dense, dtype)`` of the baked literal.
-    """
-    zt = jax.lax.optimization_barrier(jnp.asarray(z, jnp.int32))
-    wt = jax.lax.optimization_barrier(
-        jnp.asarray(np.asarray(w, np.float32), dtype))
-    ids = jax.lax.broadcasted_iota(jnp.int32, z.shape[:-1] + (Z,),
-                                   z.ndim - 1)
-    out = None
-    for e in range(z.shape[-1]):
-        term = (ids == zt[..., e:e + 1]).astype(dtype) * wt[..., e:e + 1]
-        out = term if out is None else out + term
-    return out
-
-
 _STAGE_PLAN_CACHE: dict = {}
 
 
@@ -335,14 +258,10 @@ def stage_window_weights(spp: StagePoolPlan, e9: jnp.ndarray) -> jnp.ndarray:
     for t in range(3):
         Gt = None
         for u in range(3):
-            # (W, Ws*Jw), rebuilt on device from the compact band (<=2
-            # nonzeros per row) so the executable stays small
-            Awu = expand_rows(*_compact_cached(spp.A_wloc[u]),
-                              spp.Ws * spp.Jw, dt)
+            Awu = jnp.asarray(spp.A_wloc[u], dt)          # (W, Ws*Jw)
             g = jnp.einsum("bhw,wz->bhz", e9[..., t * 3 + u], Awu)
             Gt = g if Gt is None else Gt + g
-        Aht = expand_rows(*_compact_cached(spp.A_hloc[t]),
-                          spp.Hs * spp.Ih, dt)            # (H, Hs*Ih)
+        Aht = jnp.asarray(spp.A_hloc[t], dt)              # (H, Hs*Ih)
         m = jnp.einsum("hy,bhz->byz", Aht, Gt)
         Mc = m if Mc is None else Mc + m
     return Mc.reshape(B, spp.Hs, spp.Ih, spp.Ws, spp.Jw)

@@ -54,19 +54,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cellgrid import _compact_cached, expand_rows
 from .slic import SlicPlan
 
 __all__ = ["cell_pool0", "cell_pool_stage", "supports", "supports_stage"]
-
-
-def _expand(A: np.ndarray, dtype, max_nnz: int) -> jnp.ndarray:
-    """On-device rebuild of a near-empty constant matrix (placement /
-    permuted band): keeps megabytes of dense literals out of the serialized
-    executable, whose bytes cost driver-visible load seconds through the
-    axon tunnel (PERF_NOTES item 44).  Bit-equal to ``jnp.asarray(A,
-    dtype)`` — see cellgrid.expand_rows."""
-    return expand_rows(*_compact_cached(A, max_nnz), A.shape[-1], dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -158,9 +148,8 @@ def _pool0_impl(plan: SlicPlan, seg: jnp.ndarray, taps: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, nhb, n, C), jnp.float32),
     )(jnp.asarray(cyb), seg2, taps2)
     # overlapping windows add into their clusters through the static 0/1
-    # placement (tiny: ~5 GFLOP at GlaS-0.5x B=8; rebuilt on device — one
-    # nonzero per window column — instead of baked as a ~10 MB literal)
-    return jnp.einsum("bhjc,hjk->bkc", part, _expand(P, jnp.float32, 1))
+    # placement (tiny: ~5 GFLOP at GlaS-0.5x B=8)
+    return jnp.einsum("bhjc,hjk->bkc", part, jnp.asarray(P))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
@@ -206,7 +195,7 @@ def _bwd_impl(plan: SlicPlan, seg: jnp.ndarray, dsums: jnp.ndarray,
     L = rows * W
     # per-block (n, C) windows of dsums: win[b,hb,j,:] = dsums[b,P_col(j),:]
     # (tiny: nhb*n*K*C MACs, ~3 GFLOP at GlaS-0.5x B=8)
-    win = jnp.einsum("hjk,bkc->bhjc", _expand(P, dsums.dtype, 1), dsums,
+    win = jnp.einsum("hjk,bkc->bhjc", jnp.asarray(P, dsums.dtype), dsums,
                      preferred_element_type=jnp.float32).astype(out_dtype)
     seg3 = seg.reshape(B, nhb, 1, L)     # major-dim split, free bitcast
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -379,9 +368,9 @@ def _mct_from_e9(key, e9: jnp.ndarray, rows: int) -> jnp.ndarray:
         Gt = None
         for u in range(3):
             g = jnp.einsum("bhw,wz->bhz", e9[..., t * 3 + u],
-                           _expand(A_w_perm[u], dt, 2))
+                           jnp.asarray(A_w_perm[u], dt))
             Gt = g if Gt is None else Gt + g
-        mt = jnp.einsum("hy,bhz->byz", _expand(A_h_perm[t], dt, 2), Gt)
+        mt = jnp.einsum("hy,bhz->byz", jnp.asarray(A_h_perm[t], dt), Gt)
         m = mt if m is None else m + mt
     return (m.reshape(B, npb, Ih, rows, Jw, Ws)
             .transpose(0, 1, 2, 4, 3, 5)
@@ -445,7 +434,7 @@ def _stage_fwd_impl(key, mct, taps, rows):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, npb, n, C), jnp.float32),
     )(jnp.asarray(colbase), mct, taps2)
-    return jnp.einsum("bhjc,hjk->bkc", part, _expand(P, jnp.float32, 1))
+    return jnp.einsum("bhjc,hjk->bkc", part, jnp.asarray(P))
 
 
 def _stage_bwd_kernel(colbase_ref, mc_ref, win_ref, out_ref, *,
@@ -474,7 +463,7 @@ def _stage_bwd_impl(key, mct, dsums, rows, out_dtype, B, C):
     Hs, Ws, Ih, Jw = spp.Hs, spp.Ws, spp.Ih, spp.Jw
     Hp, npb, n, Kwide, colbase, P, _, _ = _stage_constants(key, rows)
     L = rows * Ws
-    win = jnp.einsum("hjk,bkc->bhjc", _expand(P, dsums.dtype, 1), dsums,
+    win = jnp.einsum("hjk,bkc->bhjc", jnp.asarray(P, dsums.dtype), dsums,
                      preferred_element_type=jnp.float32).astype(out_dtype)
     # one XLA transpose here beats Ih*Jw-wide per-block relayouts in-kernel
     mctT = mct.transpose(0, 1, 3, 2)                  # (B, npb, L, Ih*Jw)

@@ -198,23 +198,14 @@ def slic(rgb: jnp.ndarray, valid: jnp.ndarray | None = None, *,
         # masked with +inf distance rather than clamped.  (Clamped
         # candidates would duplicate the unclamped ones and could win
         # argmin ties at borders, whose contributions the update's
-        # shift-add then drops.)  Built ON DEVICE from the tiny per-axis
-        # validity vectors: a baked (h, w, 9) f32 literal is ~4.3 MB of
-        # serialized executable, and executable bytes cost seconds of
-        # driver-visible load through the axon tunnel (PERF_NOTES item 44).
-        # The optimization_barrier keeps XLA's constant folder from
-        # re-materializing the dense literal.
-        cols = []
+        # shift-add then drops.)
+        bias = []
         for dy, dx in _OFFSETS:
             rv = (cy + dy >= 0) & (cy + dy < Kh)
             cv = (cx + dx >= 0) & (cx + dx < Kw)
-            rvt = jax.lax.optimization_barrier(jnp.asarray(rv))
-            cvt = jax.lax.optimization_barrier(jnp.asarray(cv))
-            cols.append(jnp.where(rvt[:, None] & cvt[None, :],
-                                  0.0, jnp.inf))
-        bias = jnp.stack(cols, -1).astype(jnp.float32)
+            bias.append(np.where(np.outer(rv, cv), 0.0, np.inf))
         return (cy, cx, sel_r, sel_c, jnp.asarray(bin_r), jnp.asarray(bin_c),
-                bias)
+                jnp.asarray(np.stack(bias, -1), jnp.float32))
 
     def make_assign(grid, scaled_feat_g):
         cy, cx, sel_r, sel_c, _, _, bias = grid
