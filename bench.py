@@ -260,16 +260,18 @@ def measure_tpu(warmup_only: bool = False):
     # no work can be reused or elided), finished by one synchronous scalar
     # fetch; the per-step time is the difference quotient between two scan
     # lengths, which cancels dispatch/RPC/fetch overhead exactly.
-    from functools import partial
-
-    @partial(jax.jit, static_argnames="n")
+    # ONE program for every scan length: n is a traced scalar driving a
+    # fori_loop (same salting math as the static-length scan it replaces —
+    # salt i wraps identically through uint8).  Each additional compiled
+    # program costs a full ~8 MB serialized-executable LOAD through the
+    # tunnel (~20-80 s each, PERF_NOTES items 44/48) in the driver-timed
+    # run; with a dynamic n the short and long timings share one load.
+    @jax.jit
     def repeat_steps(params, imgs, valid, n):
-        def body(carry, salt):
-            out = step(params, imgs + salt, valid)
-            return carry + jnp.mean(out), None
-        total, _ = jax.lax.scan(
-            body, jnp.zeros(()), jnp.arange(n, dtype=jnp.uint8))
-        return total
+        def body(i, carry):
+            out = step(params, imgs + i.astype(jnp.uint8), valid)
+            return carry + jnp.mean(out)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
 
     def timed_fetch(n_steps, imgs, valid):
         t0 = time.time()
@@ -296,10 +298,10 @@ def measure_tpu(warmup_only: bool = False):
         c = time.time() - t0
         compile_s += c
         log(f"[tpu] B={B} first call (compile): {c:.1f}s")
-        timed_fetch(N_LONG, imgs, valid)  # warm the long program too
+        timed_fetch(N_LONG, imgs, valid)  # extra warm run (terminal settle)
         if warmup_only:
-            # cache-seeding mode: both scan programs of this batch size are
-            # now compiled into JAX_COMPILATION_CACHE_DIR; skip the timing
+            # cache-seeding mode: this batch size's (single, dynamic-n)
+            # program is now compiled into JAX_COMPILATION_CACHE_DIR
             continue
         dts = []
         for _ in range(3):
